@@ -1,0 +1,113 @@
+"""Runtime render configuration.
+
+The reference exposes its knobs as a two-tier config: argv flags (`-scene`,
+`-kernel`) plus a large compile-time CMake-cache -> preprocessor-define layer
+(reference `CMakeLists.txt:23-116,169-215`: tonemap operator, exposure, max
+bounces, russian roulette, sample accumulation, acceleration structure choice,
+AOV debug views, RNG algorithm, tiling). TPU-natively all of those become one
+runtime dataclass — everything is a `jit`-static field, so flipping a knob just
+triggers a retrace instead of a rebuild.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+# AOV debug views, mirroring DEBUG_SHOW_* of reference CMakeLists.txt:23-35 /
+# cpu_trace.cpp:127-137.
+AOV_BEAUTY = "beauty"
+AOV_BASECOLOR = "basecolor"
+AOV_NORMALS = "normals"
+AOV_METALNESS = "metalness"
+AOV_ROUGHNESS = "roughness"
+AOV_EMISSIVE = "emissive"
+AOV_DEPTH = "depth"  # extra (not in reference): hit distance
+AOVS = (
+    AOV_BEAUTY,
+    AOV_BASECOLOR,
+    AOV_NORMALS,
+    AOV_METALNESS,
+    AOV_ROUGHNESS,
+    AOV_EMISSIVE,
+    AOV_DEPTH,
+)
+
+TONEMAP_NONE = "none"
+TONEMAP_SRGB = "srgb"
+TONEMAP_ACES = "aces"
+TONEMAP_REINHARD = "reinhard"
+TONEMAPS = (TONEMAP_NONE, TONEMAP_SRGB, TONEMAP_ACES, TONEMAP_REINHARD)
+
+ACCEL_NONE = "none"  # brute force over all triangles (reference CUDA kernel behavior)
+ACCEL_BVH = "bvh"  # flattened binned-SAH BVH (reference wanted this, bvh.h:14)
+ACCELS = (ACCEL_NONE, ACCEL_BVH)
+
+RNG_FAST = "fast"  # counter-based PCG-style hash (cheap, TPU friendly)
+RNG_THREEFRY = "threefry"  # jax.random keyed per (pixel, frame, bounce)
+RNGS = (RNG_FAST, RNG_THREEFRY)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static configuration of a render. Hashable; safe as a jit-static arg."""
+
+    width: int = 640
+    height: int = 480
+
+    # Path tracing quality — defaults match reference CMakeLists.txt:92-116.
+    max_bounces: int = 5
+    russian_roulette: bool = True
+    accumulate: bool = True
+    spp: int = 1  # samples per pixel per call (reference: 1 per frame, progressive)
+
+    # Post-processing — reference TRACY_TONEMAPPING / TRACY_EXPOSURE.
+    tonemap: str = TONEMAP_SRGB
+    exposure: float = 1.0
+
+    # Debug AOV view (reference DEBUG_VIEW).
+    aov: str = AOV_BEAUTY
+
+    # Intersection backend.
+    accel: str = ACCEL_BVH
+    bvh_leaf_size: int = 8
+    traversal_stack_depth: int = 40
+
+    # RNG algorithm (reference CPU_RAND_ALGORITHM).
+    rng: str = RNG_FAST
+    seed: int = 0xABCDEF  # reference random.h fixed seed
+
+    # Ray chunking: rays per device-side wavefront chunk (0 = all at once).
+    ray_chunk: int = 0
+
+    # Pallas kernels on/off (jnp fallback used when False or unsupported).
+    use_pallas: bool = False
+
+    # Compute dtype for shading math.
+    dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.tonemap not in TONEMAPS:
+            raise ValueError(f"unknown tonemap {self.tonemap!r}; pick one of {TONEMAPS}")
+        if self.aov not in AOVS:
+            raise ValueError(f"unknown AOV {self.aov!r}; pick one of {AOVS}")
+        if self.accel not in ACCELS:
+            raise ValueError(f"unknown accel {self.accel!r}; pick one of {ACCELS}")
+        if self.rng not in RNGS:
+            raise ValueError(f"unknown rng {self.rng!r}; pick one of {RNGS}")
+        if self.max_bounces < 1:
+            raise ValueError("max_bounces must be >= 1")
+        if self.spp < 1:
+            raise ValueError("spp must be >= 1")
+
+    @property
+    def resolution(self) -> Tuple[int, int]:
+        return (self.width, self.height)
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
