@@ -120,12 +120,32 @@ class Renderer:
 
     def __init__(self, cfg: RenderConfig, intersector_factory=None):
         self.cfg = cfg
-        self._factory = intersector_factory or (
-            lambda scene: make_bruteforce_intersector(scene)
-        )
+        self._factory = intersector_factory
         self._jit_step = jax.jit(self._step_impl, donate_argnums=(1,))
         self.timer = Timer()
         self.total_rays = 0.0
+
+    def _ensure_accel(self, scene: SceneArrays):
+        """Build the acceleration structure once per renderer (host-side;
+        equivalent of the reference kernel Startup -> ProcessScene boundary,
+        cpu_details.cpp:26-86)."""
+        if self._factory is not None:
+            return
+        if self.cfg.accel == "bvh":
+            from tracy_tpu.accel.bvh import build_scene_bvh, make_bvh_intersector
+
+            host, dev = build_scene_bvh(
+                scene,
+                leaf_size=self.cfg.bvh_leaf_size,
+                max_depth=max(self.cfg.traversal_stack_depth - 4, 8),
+            )
+            leaf = self.cfg.bvh_leaf_size
+            depth = self.cfg.traversal_stack_depth
+            self._factory = lambda sc: make_bvh_intersector(
+                sc, dev, leaf_size=leaf, stack_depth=depth
+            )
+        else:
+            self._factory = lambda sc: make_bruteforce_intersector(sc)
 
     def _step_impl(self, scene: SceneArrays, state: RenderState):
         return render_step(scene, state, self.cfg, self._factory(scene))
@@ -136,6 +156,7 @@ class Renderer:
         return init_state(self.cfg)
 
     def step(self, scene: SceneArrays, state: RenderState):
+        self._ensure_accel(scene)
         self.timer.begin()
         state, rays = self._jit_step(scene, state)
         state.accum.block_until_ready()

@@ -86,32 +86,9 @@ def _parse_floats(chunks: List[str], width: int) -> np.ndarray:
     return flat.reshape(-1, width)
 
 
-def _build_shape(name, faces, positions, normals, uvs) -> ObjShape:
-    # Triangulate (fan) and flatten to parallel index arrays.
-    vi: List[int] = []
-    ni: List[int] = []
-    ti: List[int] = []
-    nv, nn, nt = len(positions), len(normals), len(uvs)
-
-    def parse_tok(tok: str):
-        parts = tok.split("/")
-        v = int(parts[0])
-        t = int(parts[1]) if len(parts) > 1 and parts[1] else 0
-        n = int(parts[2]) if len(parts) > 2 and parts[2] else 0
-        # OBJ is 1-based; negatives are relative to current count.
-        v = v - 1 if v > 0 else nv + v
-        t = t - 1 if t > 0 else (nt + t if t < 0 else -1)
-        n = n - 1 if n > 0 else (nn + n if n < 0 else -1)
-        return v, t, n
-
-    for toks in faces:
-        corners = [parse_tok(t) for t in toks]
-        for k in range(1, len(corners) - 1):
-            for c in (corners[0], corners[k], corners[k + 1]):
-                vi.append(c[0])
-                ti.append(c[1])
-                ni.append(c[2])
-
+def shape_from_flat(name, vi, ti, ni, positions, normals, uvs) -> ObjShape:
+    """Build a deduped ObjShape from flat 0-based corner index arrays
+    (-1 = attribute absent). Shared by the Python and native loaders."""
     vi = np.asarray(vi, dtype=np.int64)
     ni = np.asarray(ni, dtype=np.int64)
     ti = np.asarray(ti, dtype=np.int64)
@@ -140,3 +117,32 @@ def _build_shape(name, faces, positions, normals, uvs) -> ObjShape:
         indices=out_idx,
         has_normals=has_normals,
     )
+
+
+def _build_shape(name, faces, positions, normals, uvs) -> ObjShape:
+    # Triangulate (fan) and flatten to parallel index arrays.
+    vi: List[int] = []
+    ni: List[int] = []
+    ti: List[int] = []
+    nv, nn, nt = len(positions), len(normals), len(uvs)
+
+    def parse_tok(tok: str):
+        parts = tok.split("/")
+        v = int(parts[0])
+        t = int(parts[1]) if len(parts) > 1 and parts[1] else 0
+        n = int(parts[2]) if len(parts) > 2 and parts[2] else 0
+        # OBJ is 1-based; negatives are relative to current count.
+        v = v - 1 if v > 0 else nv + v
+        t = t - 1 if t > 0 else (nt + t if t < 0 else -1)
+        n = n - 1 if n > 0 else (nn + n if n < 0 else -1)
+        return v, t, n
+
+    for toks in faces:
+        corners = [parse_tok(t) for t in toks]
+        for k in range(1, len(corners) - 1):
+            for c in (corners[0], corners[k], corners[k + 1]):
+                vi.append(c[0])
+                ti.append(c[1])
+                ni.append(c[2])
+
+    return shape_from_flat(name, vi, ti, ni, positions, normals, uvs)

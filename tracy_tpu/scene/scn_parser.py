@@ -29,7 +29,7 @@ import numpy as np
 
 from tracy_tpu.core import math as tm
 from tracy_tpu.scene.hostmesh import HostMesh
-from tracy_tpu.scene.objloader import load_obj
+from tracy_tpu.scene.objloader_native import load_obj_fast
 from tracy_tpu.scene.scene import (
     NUM_TEX_SLOTS,
     TEX_BASECOLOR,
@@ -242,7 +242,7 @@ def _parse_tri_line(builder: SceneBuilder, material_ids, params: str, search_dir
         warn(f"OBJ file '{file_name}' not found; skipping TRI")
         return
 
-    for shape in load_obj(resolved):
+    for shape in load_obj_fast(resolved):
         mesh = HostMesh(
             positions=shape.positions,
             indices=shape.indices,
