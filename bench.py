@@ -1,0 +1,96 @@
+"""Headline benchmark: dragon.scn at 1080p, 4 spp, 5 bounces, BVH, RR on.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric is MRays/s on the current default JAX device (the TPU chip under the
+driver), with the reference's ray accounting — one ray per live bounce-loop
+iteration (cpu_trace.cpp:113-116). The reference publishes no numbers
+(BASELINE.md), so vs_baseline is measured against TRACY_BASELINE_MRAYS below
+— our own round-1 recorded figure once it exists, else 1.0x.
+
+Env overrides: TRACY_BENCH_SCENE, TRACY_BENCH_WIDTH/HEIGHT/SPP/FRAMES,
+TRACY_BENCH_RAY_CHUNK.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# Our own recorded baseline (MRays/s, this benchmark, 1 chip). Updated as
+# rounds land; the first measured value seeds it.
+TRACY_BASELINE_MRAYS = float(os.environ.get("TRACY_BASELINE_MRAYS", "0") or 0)
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from tracy_tpu.config import RenderConfig
+    from tracy_tpu.render.renderer import Renderer, init_state
+    from tracy_tpu.scene.scn_parser import load_scene
+
+    scene_path = os.environ.get(
+        "TRACY_BENCH_SCENE", "/root/reference/data/scenes/dragon.scn"
+    )
+    width = int(os.environ.get("TRACY_BENCH_WIDTH", 1920))
+    height = int(os.environ.get("TRACY_BENCH_HEIGHT", 1080))
+    spp = int(os.environ.get("TRACY_BENCH_SPP", 4))
+    frames = int(os.environ.get("TRACY_BENCH_FRAMES", 3))
+    ray_chunk = int(os.environ.get("TRACY_BENCH_RAY_CHUNK", 0))
+
+    print(f"[bench] device: {jax.devices()[0]}", file=sys.stderr)
+
+    b = load_scene(scene_path, data_root="/root/reference")
+    b.width, b.height = width, height
+    scene = b.build()
+    print(f"[bench] scene: {b.name}, {b.num_triangles} tris", file=sys.stderr)
+
+    cfg = RenderConfig(
+        width=width, height=height, spp=spp, max_bounces=5,
+        russian_roulette=True, tonemap="srgb", accel="bvh",
+        ray_chunk=ray_chunk,
+    )
+    r = Renderer(cfg)
+    state = init_state(cfg)
+
+    # Warmup (compile + first frame).
+    t0 = time.perf_counter()
+    state, rays = r.step(scene, state)
+    t1 = time.perf_counter()
+    print(f"[bench] warmup (compile+frame): {t1 - t0:.1f}s, rays={int(rays)}",
+          file=sys.stderr)
+
+    r.timer.reset()
+    r.total_rays = 0.0
+    for _ in range(frames):
+        state, rays = r.step(scene, state)
+    mrays = r.mrays_per_sec
+    print(
+        f"[bench] {frames} frames in {r.timer.total:.2f}s -> {mrays:.2f} MRays/s",
+        file=sys.stderr,
+    )
+
+    img = r.display_u8(state)
+    out = os.environ.get("TRACY_BENCH_IMAGE", "")
+    if out:
+        try:
+            from PIL import Image
+
+            Image.fromarray(np.asarray(img)).save(out)
+        except Exception as e:
+            print(f"[bench] image save failed: {e}", file=sys.stderr)
+
+    vs = mrays / TRACY_BASELINE_MRAYS if TRACY_BASELINE_MRAYS > 0 else 1.0
+    print(json.dumps({
+        "metric": "dragon_1080p_4spp_mrays_per_s_per_chip",
+        "value": round(mrays, 3),
+        "unit": "MRays/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

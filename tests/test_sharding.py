@@ -1,0 +1,126 @@
+"""Multi-device sharding on the 8-device virtual CPU mesh: the sharded render
+must be bit-identical to the single-chip render (global RNG keying), and the
+sharded training step must run and reduce loss."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from tracy_tpu.config import RenderConfig
+from tracy_tpu.diff import extract_params
+from tracy_tpu.parallel import (
+    make_render_mesh,
+    make_sharded_render_step,
+    make_sharded_train_step,
+    replicate_scene,
+)
+from tracy_tpu.render.renderer import Renderer, init_state
+from tracy_tpu.scene.scn_parser import default_scene, load_scene
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return default_scene(32, 32).build()
+
+
+def _single_chip_frames(scene, cfg, n_frames):
+    r = Renderer(cfg)
+    st = init_state(cfg)
+    for _ in range(n_frames):
+        st, rays = r.step(scene, st)
+    return st, rays
+
+
+@pytest.mark.parametrize("n_data,n_sample", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_render_bit_identical(scene, n_data, n_sample):
+    assert len(jax.devices()) == 8
+    cfg = RenderConfig(width=32, height=32, spp=8, max_bounces=3,
+                       tonemap="none", accel="none")
+    mesh = make_render_mesh(n_data, n_sample)
+    step = make_sharded_render_step(cfg, mesh)
+    sc = replicate_scene(scene, mesh)
+    st = init_state(cfg)
+    st, rays = step(sc, st)
+
+    ref_st, ref_rays = _single_chip_frames(scene, cfg.replace(accel="none"), 1)
+    if n_sample == 1:
+        # Row sharding preserves every per-pixel operation order exactly.
+        np.testing.assert_array_equal(np.asarray(st.accum), np.asarray(ref_st.accum))
+    else:
+        # Sample sharding averages in a different order: same value up to
+        # float32 summation order.
+        np.testing.assert_allclose(
+            np.asarray(st.accum), np.asarray(ref_st.accum), atol=3e-6, rtol=1e-5
+        )
+    assert int(rays) == int(ref_rays)
+
+
+def test_sharded_render_progressive(scene):
+    cfg = RenderConfig(width=32, height=32, spp=2, max_bounces=3,
+                       tonemap="none", accel="none")
+    mesh = make_render_mesh(4, 2)
+    step = make_sharded_render_step(cfg, mesh)
+    sc = replicate_scene(scene, mesh)
+    st = init_state(cfg)
+    for _ in range(3):
+        st, _ = step(sc, st)
+    ref_st, _ = _single_chip_frames(scene, cfg, 3)
+    np.testing.assert_allclose(
+        np.asarray(st.accum), np.asarray(ref_st.accum), atol=1e-6
+    )
+    assert int(st.frame) == 3
+
+
+def test_sharded_train_step_runs_and_descends(scene):
+    cfg = RenderConfig(width=32, height=32, spp=4, max_bounces=2,
+                       tonemap="none", accel="none", russian_roulette=False)
+    mesh = make_render_mesh(4, 2)
+    sc = replicate_scene(scene, mesh)
+
+    frame = jnp.asarray(3, jnp.int32)
+    params = extract_params(sc)
+    target_params = params._replace(albedo=params.albedo.at[1].set(jnp.full(3, 0.9)))
+    from tracy_tpu.diff import apply_params
+    from tracy_tpu.render.renderer import sample_radiance
+
+    target, _ = sample_radiance(apply_params(sc, target_params), cfg, frame)
+
+    mask = jax.tree_util.tree_map(lambda x: jnp.zeros_like(x, bool), params)
+    mask = mask._replace(albedo=mask.albedo.at[1].set(True))
+    step, opt_state = make_sharded_train_step(
+        sc, cfg, mesh, optax.adam(1e-1), trainable_mask=mask
+    )
+
+    losses = []
+    for i in range(15):
+        params, opt_state, loss = step(params, opt_state, target, frame)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5
+    # Albedo moved toward the target.
+    assert float(params.albedo[1, 0]) > 0.55
+
+
+def test_sharded_gradients_match_single_chip(scene):
+    """The psum'ed sharded gradient equals the single-chip gradient."""
+    cfg = RenderConfig(width=32, height=32, spp=2, max_bounces=2,
+                       tonemap="none", accel="none", russian_roulette=False)
+    mesh = make_render_mesh(2, 1, devices=jax.devices()[:2])
+    sc = replicate_scene(scene, mesh)
+    params = extract_params(sc)
+    target = jnp.zeros((32, 32, 3))
+    frame = jnp.asarray(0, jnp.int32)
+
+    from tracy_tpu.diff.gradients import render_loss
+
+    g_single = jax.grad(render_loss)(params, scene, target, cfg, frame)
+
+    # Sharded loss via the train-step's internals: reuse make_sharded_train_step
+    # with SGD lr so update = -lr * grad, recover grad from the delta.
+    step, opt_state = make_sharded_train_step(sc, cfg, mesh, optax.sgd(1.0))
+    p2, _, _ = step(params, opt_state, target, frame)
+    g_sharded = jax.tree_util.tree_map(lambda a, b: a - b, params, p2)
+
+    for a, b in zip(jax.tree_util.tree_leaves(g_single), jax.tree_util.tree_leaves(g_sharded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

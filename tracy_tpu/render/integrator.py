@@ -208,8 +208,10 @@ def trace_aov(
         out = params.basecolor
     elif cfg.aov == "normals":
         # .5 * normalize(1 + mat3(view) * shading_normal), cpu_trace.cpp:130
-        view3 = scene.camera.view[:3, :3]
-        view_n = params.normal @ view3.T
+        # (explicit mul-add: keep off the bf16 MXU, see camera.generate_rays)
+        v = scene.camera.view[:3, :3]
+        n = params.normal
+        view_n = n[..., 0:1] * v[:, 0] + n[..., 1:2] * v[:, 1] + n[..., 2:3] * v[:, 2]
         out = 0.5 * tm.normalize(1.0 + view_n)
     elif cfg.aov == "metalness":
         out = jnp.repeat(params.metalness[:, None], 3, axis=-1)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tracy_tpu.config import RenderConfig
-from tracy_tpu.core.camera import pixel_samples
+from tracy_tpu.core.camera import pixel_samples, pixel_samples_rows
 from tracy_tpu.core.rng import RngSpec
 from tracy_tpu.render import film
 from tracy_tpu.render.integrator import (
@@ -46,54 +46,87 @@ def init_state(cfg: RenderConfig) -> RenderState:
     )
 
 
-def sample_radiance(
+def sample_radiance_rows(
     scene: SceneArrays,
     cfg: RenderConfig,
     frame: jnp.ndarray,
     intersect_fn=None,
+    row_offset=0,  # traced or static: first image row this shard renders
+    num_rows: Optional[int] = None,  # static: rows rendered here
+    spp_offset=0,  # traced or static: first sample id this shard renders
+    spp_count: Optional[int] = None,  # static: samples rendered here
+    total_spp: Optional[int] = None,  # static: global spp (RNG stream stride)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One frame of spp jittered samples -> (mean radiance [H,W,3], rays []).
+    """spp_count jittered samples over a horizontal band of the image.
 
-    Differentiable w.r.t. scene arrays. `frame` advances the RNG stream.
+    Returns (mean radiance [num_rows, W, 3], rays []). Differentiable w.r.t.
+    scene arrays. RNG streams are keyed by GLOBAL pixel index and GLOBAL
+    sample id, so any row/sample sharding renders the identical image.
     """
-    h, w, spp = cfg.height, cfg.width, cfg.spp
+    h, w = cfg.height, cfg.width
+    num_rows = h if num_rows is None else num_rows
+    spp_count = cfg.spp if spp_count is None else spp_count
+    total_spp = cfg.spp if total_spp is None else total_spp
     if intersect_fn is None:
         intersect_fn = make_bruteforce_intersector(scene)
 
     rng = RngSpec(cfg.rng, cfg.seed)
-    pixel_idx = jnp.arange(h * w, dtype=jnp.uint32).reshape(h, w)
+    rows = row_offset + jnp.arange(num_rows, dtype=jnp.int32)  # global rows
+    cols = jnp.arange(w, dtype=jnp.int32)
+    pixel_idx = (rows[:, None] * w + cols[None, :]).astype(jnp.uint32)
 
     def one_sample(s):
-        sample_key = frame.astype(jnp.uint32) * jnp.uint32(spp) + jnp.uint32(s)
+        sample_key = frame.astype(jnp.uint32) * jnp.uint32(total_spp) + s.astype(jnp.uint32)
         ju = rng.uniform(pixel_idx, sample_key, JITTER_BOUNCE, 0)
         jv = rng.uniform(pixel_idx, sample_key, JITTER_BOUNCE, 1)
-        ss, tt = pixel_samples(w, h, ju, jv)
+        ss, tt = pixel_samples_rows(w, h, rows, ju, jv)
         origin, direction = scene.camera.generate_rays(ss, tt)
         origin = origin.reshape(-1, 3)
         direction = direction.reshape(-1, 3)
 
         if cfg.aov != "beauty":
             radiance = trace_aov(scene, origin, direction, cfg, intersect_fn)
-            rays = jnp.asarray(h * w, dtype=jnp.int32)
+            rays = jnp.asarray(num_rows * w, dtype=jnp.int32)
         else:
-            radiance, rays = trace_paths(
-                scene,
-                origin,
-                direction,
-                pixel_idx.reshape(-1),
-                sample_key,
-                cfg,
-                intersect_fn,
-            )
-        return radiance.reshape(h, w, 3), rays
+            flat_pix = pixel_idx.reshape(-1)
 
-    if spp == 1:
-        return one_sample(jnp.asarray(0, dtype=jnp.uint32))
+            def run(o, d, pix):
+                return trace_paths(scene, o, d, pix, sample_key, cfg, intersect_fn)
+
+            n = origin.shape[0]
+            chunk = cfg.ray_chunk
+            if 0 < chunk < n and n % chunk == 0:
+                k = n // chunk
+                rad_c, rays_c = jax.lax.map(
+                    lambda args: run(*args),
+                    (
+                        origin.reshape(k, chunk, 3),
+                        direction.reshape(k, chunk, 3),
+                        flat_pix.reshape(k, chunk),
+                    ),
+                )
+                radiance, rays = rad_c.reshape(n, 3), jnp.sum(rays_c)
+            else:
+                radiance, rays = run(origin, direction, flat_pix)
+        return radiance.reshape(num_rows, w, 3), rays
+
+    if spp_count == 1:
+        return one_sample(jnp.asarray(spp_offset, jnp.uint32))
 
     radiance, rays = jax.lax.map(
-        one_sample, jnp.arange(spp, dtype=jnp.uint32)
+        one_sample, spp_offset + jnp.arange(spp_count, dtype=jnp.uint32)
     )
     return jnp.mean(radiance, axis=0), jnp.sum(rays)
+
+
+def sample_radiance(
+    scene: SceneArrays,
+    cfg: RenderConfig,
+    frame: jnp.ndarray,
+    intersect_fn=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One frame of spp jittered samples -> (mean radiance [H,W,3], rays [])."""
+    return sample_radiance_rows(scene, cfg, frame, intersect_fn)
 
 
 def render_step(
