@@ -41,8 +41,9 @@ TONEMAP_REINHARD = "reinhard"
 TONEMAPS = (TONEMAP_NONE, TONEMAP_SRGB, TONEMAP_ACES, TONEMAP_REINHARD)
 
 ACCEL_NONE = "none"  # brute force over all triangles (reference CUDA kernel behavior)
-ACCEL_BVH = "bvh"  # flattened binned-SAH BVH (reference wanted this, bvh.h:14)
-ACCELS = (ACCEL_NONE, ACCEL_BVH)
+ACCEL_BVH = "bvh"  # per-ray-stack BVH traversal (gather-bound on TPU; CPU-fine)
+ACCEL_PACKET = "packet"  # packet traversal — gather-free, the TPU default
+ACCELS = (ACCEL_NONE, ACCEL_BVH, ACCEL_PACKET)
 
 RNG_FAST = "fast"  # counter-based PCG-style hash (cheap, TPU friendly)
 RNG_THREEFRY = "threefry"  # jax.random keyed per (pixel, frame, bounce)
@@ -70,9 +71,11 @@ class RenderConfig:
     aov: str = AOV_BEAUTY
 
     # Intersection backend.
-    accel: str = ACCEL_BVH
+    accel: str = ACCEL_PACKET
     bvh_leaf_size: int = 8
     traversal_stack_depth: int = 40
+    packet_leaf_size: int = 64  # dense-test granularity for accel='packet'
+    packet_size: int = 1024  # rays per shared-stack packet
 
     # RNG algorithm (reference CPU_RAND_ALGORITHM).
     rng: str = RNG_FAST

@@ -75,7 +75,19 @@ def interpolate_hit(scene: SceneArrays, hit: Hit, origin, direction) -> HitAttri
 
 
 def sky_emission(scene: SceneArrays, direction: jnp.ndarray) -> jnp.ndarray:
-    """Sky radiance for miss lanes via material slot 0 (cpu_trace.cpp:147-156)."""
+    """Sky radiance for miss lanes via material slot 0 (cpu_trace.cpp:147-156).
+
+    The equirect texture fetch only exists in the graph when the scene has
+    textures (static check) — untextured skies are a pure broadcast.
+    """
+    from tracy_tpu.render.material import scene_has_textures
+
+    m = scene.materials
+    const_shape = direction.shape[:-1] + (3,)
+    const = jnp.broadcast_to(m.emissive[SKY_MATERIAL_ID], const_shape)
+    if not scene_has_textures(scene):
+        return const
+
     d = direction
     uv = jnp.stack(
         [
@@ -84,11 +96,9 @@ def sky_emission(scene: SceneArrays, direction: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    m = scene.materials
     tid = m.tex_index[SKY_MATERIAL_ID, TEX_EMISSIVE]
     tids = jnp.full(d.shape[:-1], tid, dtype=jnp.int32)
     texel = sample_nearest(scene.tex_data, scene.tex_table, tids, uv)[..., :3]
-    const = jnp.broadcast_to(m.emissive[SKY_MATERIAL_ID], texel.shape)
     return jnp.where(tid >= 0, texel, const)
 
 
@@ -129,11 +139,23 @@ def trace_paths(
     def bounce_step(state: PathState, bounce) -> Tuple[PathState, None]:
         ray_count = state.ray_count + jnp.sum(state.alive, dtype=jnp.int32)
 
-        hit = intersect_fn(state.origin, state.direction, state.alive)
+        res = intersect_fn(state.origin, state.direction, state.alive)
+        if not isinstance(res, Hit):
+            # Rich intersector (packet): attributes already interpolated
+            # gather-free inside the traversal.
+            hit, pa = res
+            attrs = HitAttributes(
+                point=state.origin + hit.t[:, None] * state.direction,
+                normal=pa.normal,
+                tangent=pa.tangent,
+                uv=pa.uv,
+                material=pa.material,
+            )
+        else:
+            hit = res
+            attrs = interpolate_hit(scene, hit, state.origin, state.direction)
         hit_mask = hit.mask & state.alive
         miss_mask = state.alive & ~hit.mask
-
-        attrs = interpolate_hit(scene, hit, state.origin, state.direction)
         params = mtl.gather_surface_params(
             scene, attrs.material, attrs.uv, attrs.normal, attrs.tangent
         )
@@ -197,8 +219,19 @@ def trace_aov(
     """
     n = origin.shape[0]
     alive = jnp.ones((n,), dtype=bool)
-    hit = intersect_fn(origin, direction, alive)
-    attrs = interpolate_hit(scene, hit, origin, direction)
+    res = intersect_fn(origin, direction, alive)
+    if not isinstance(res, Hit):
+        hit, pa = res
+        attrs = HitAttributes(
+            point=origin + hit.t[:, None] * direction,
+            normal=pa.normal,
+            tangent=pa.tangent,
+            uv=pa.uv,
+            material=pa.material,
+        )
+    else:
+        hit = res
+        attrs = interpolate_hit(scene, hit, origin, direction)
     params = mtl.gather_surface_params(
         scene, attrs.material, attrs.uv, attrs.normal, attrs.tangent
     )

@@ -74,14 +74,66 @@ def random_on_unit_sphere(r1, r2):
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
 
+def material_table_lookup(materials, mat_id):
+    """Fetch material-table rows for [N] ids WITHOUT a gather.
+
+    XLA TPU gathers serialize (~600ns/element); with M materials (tiny), a
+    one-hot [N, M] contraction is pure VPU work and orders of magnitude
+    faster. Exact: one-hot rows have a single 1.0.
+
+    Returns (albedo, roughness, metalness, ior, emissive, translucent,
+    tex_index[N,5] int32).
+    """
+    m = materials
+    num_m = m.albedo.shape[0]
+    oh = (mat_id[:, None] == jnp.arange(num_m, dtype=mat_id.dtype)[None, :]).astype(
+        m.albedo.dtype
+    )  # [N, M]
+
+    def pick(tab):  # [M] or [M, K]
+        if tab.ndim == 1:
+            return jnp.sum(oh * tab[None, :], axis=-1)
+        return jnp.einsum("nm,mk->nk", oh, tab)
+
+    tex = pick(m.tex_index.astype(m.albedo.dtype))  # [N, 5] float (exact ints)
+    return (
+        pick(m.albedo),
+        pick(m.roughness),
+        pick(m.metalness),
+        pick(m.ior),
+        pick(m.emissive),
+        pick(m.translucent),
+        jnp.round(tex).astype(jnp.int32),
+    )
+
+
+def scene_has_textures(scene) -> bool:
+    """Static (shape-based) check: the atlas placeholder is a single texel."""
+    return scene.tex_data.shape[0] > 1
+
+
 def gather_surface_params(scene, mat_id, uv, shading_normal, tangent) -> SurfaceParams:
     """Textured parameter getters (material.h:164-203), vectorized.
 
     mat_id: [N] int32; uv: [N,2]; shading_normal/tangent: [N,3] interpolated
-    (tangent intentionally unnormalized — reference quirk).
+    (tangent intentionally unnormalized — reference quirk). Material table
+    rows come from a one-hot contraction (gather-free); texture fetches only
+    exist in the graph when the scene actually has textures (static check).
     """
-    m = scene.materials
-    tex = m.tex_index[mat_id]  # [N, 5]
+    albedo, rough, metal, ior, emis, transl, tex = material_table_lookup(
+        scene.materials, mat_id
+    )
+
+    if not scene_has_textures(scene):
+        return SurfaceParams(
+            basecolor=albedo,
+            roughness=rough,
+            metalness=metal,
+            ior=ior,
+            emissive=emis,
+            translucent=transl,
+            normal=shading_normal,
+        )
 
     def fetch(slot):
         tid = tex[..., slot]
@@ -94,10 +146,10 @@ def gather_surface_params(scene, mat_id, uv, shading_normal, tangent) -> Surface
     has_e, em = fetch(TEX_EMISSIVE)
     has_n, nm = fetch(TEX_NORMAL)
 
-    basecolor = jnp.where(has_bc[:, None], bc[..., :3], m.albedo[mat_id])
-    roughness = jnp.where(has_r, r[..., 0], m.roughness[mat_id])
-    metalness = jnp.where(has_m, mt[..., 0], m.metalness[mat_id])
-    emissive = jnp.where(has_e[:, None], em[..., :3], m.emissive[mat_id])
+    basecolor = jnp.where(has_bc[:, None], bc[..., :3], albedo)
+    roughness = jnp.where(has_r, r[..., 0], rough)
+    metalness = jnp.where(has_m, mt[..., 0], metal)
+    emissive = jnp.where(has_e[:, None], em[..., :3], emis)
 
     # Normal mapping (material.h:189-203): tbn = [bitangent, tangent, normal]
     # columns with bitangent = cross(N, normalize(T - dot(T,N)N)) and the raw
@@ -114,9 +166,9 @@ def gather_surface_params(scene, mat_id, uv, shading_normal, tangent) -> Surface
         basecolor=basecolor,
         roughness=roughness,
         metalness=metalness,
-        ior=m.ior[mat_id],
+        ior=ior,
         emissive=emissive,
-        translucent=m.translucent[mat_id],
+        translucent=transl,
         normal=normal,
     )
 

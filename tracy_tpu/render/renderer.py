@@ -113,10 +113,19 @@ def sample_radiance_rows(
     if spp_count == 1:
         return one_sample(jnp.asarray(spp_offset, jnp.uint32))
 
-    radiance, rays = jax.lax.map(
-        one_sample, spp_offset + jnp.arange(spp_count, dtype=jnp.uint32)
+    # Sequential running sum instead of lax.map+stack: avoids materializing
+    # [spp, H, W, 3] and a nested-map structure that faults the TPU compiler.
+    def spp_body(i, carry):
+        acc, rays = carry
+        r, k = one_sample(jnp.asarray(spp_offset, jnp.uint32) + i.astype(jnp.uint32))
+        return acc + r, rays + k
+
+    acc, rays = jax.lax.fori_loop(
+        0, spp_count,
+        spp_body,
+        (jnp.zeros((num_rows, w, 3), dtype=jnp.float32), jnp.zeros((), jnp.int32)),
     )
-    return jnp.mean(radiance, axis=0), jnp.sum(rays)
+    return acc / spp_count, rays
 
 
 def sample_radiance(
@@ -164,7 +173,30 @@ class Renderer:
         cpu_details.cpp:26-86)."""
         if self._factory is not None:
             return
-        if self.cfg.accel == "bvh":
+        if self.cfg.accel == "packet":
+            import numpy as np
+
+            from tracy_tpu.accel.packet import build_packet_bvh, make_packet_intersector
+            from tracy_tpu.scene.scene import TEX_NORMAL
+
+            bvh, host = build_packet_bvh(
+                scene, leaf_size=self.cfg.packet_leaf_size,
+                max_depth=max(self.cfg.traversal_stack_depth - 4, 8),
+            )
+            # Tangent interpolation only matters when some material has a
+            # normal map (static decision from the concrete scene).
+            with_tangent = bool(
+                (np.asarray(scene.materials.tex_index)[:, TEX_NORMAL] >= 0).any()
+            )
+            isect = make_packet_intersector(
+                scene, bvh,
+                leaf_size=self.cfg.packet_leaf_size,
+                stack_depth=self.cfg.traversal_stack_depth,
+                packet_size=self.cfg.packet_size,
+                with_tangent=with_tangent,
+            )
+            self._factory = lambda sc: isect
+        elif self.cfg.accel == "bvh":
             from tracy_tpu.accel.bvh import build_scene_bvh, make_bvh_intersector
 
             host, dev = build_scene_bvh(
