@@ -1,0 +1,85 @@
+"""Pallas packet kernel vs the XLA packet intersector (interpret mode on CPU).
+
+The XLA packet path is itself tested exactly against brute force, so
+agreement here closes the chain kernel == XLA == brute force.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tracy_tpu.accel.packet import build_packet_bvh, make_packet_intersector
+from tracy_tpu.ops.pallas_packet import make_pallas_intersector
+from tracy_tpu.scene.scn_parser import default_scene, load_scene
+
+
+def _rays_for(scene, n, seed=0):
+    rng = np.random.default_rng(seed)
+    ss = jnp.asarray(rng.uniform(0.02, 0.98, n).astype(np.float32))
+    tt = jnp.asarray(rng.uniform(0.02, 0.98, n).astype(np.float32))
+    return scene.camera.generate_rays(ss, tt)
+
+
+@pytest.mark.parametrize("with_tangent", [False, True])
+def test_pallas_matches_xla_packet(with_tangent):
+    scene = default_scene(32, 24).build()
+    bvh, host = build_packet_bvh(scene, leaf_size=64)
+    isect_x = make_packet_intersector(scene, bvh, leaf_size=64, packet_size=1024,
+                                      with_tangent=with_tangent)
+    isect_p = make_pallas_intersector(scene, bvh, with_tangent=with_tangent,
+                                      interpret=True)
+    assert isect_p is not None
+
+    n = 2048
+    o, d = _rays_for(scene, n)
+    act = jnp.ones(n, bool)
+    hx, ax = isect_x(o, d, act)
+    hp, ap = isect_p(o, d, act)
+
+    np.testing.assert_array_equal(np.asarray(hp.mask), np.asarray(hx.mask))
+    m = np.asarray(hx.mask)
+    np.testing.assert_allclose(np.asarray(hp.t)[m], np.asarray(hx.t)[m], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(hp.uv)[m], np.asarray(hx.uv)[m],
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ap.normal)[m], np.asarray(ax.normal)[m],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ap.uv)[m], np.asarray(ax.uv)[m],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ap.material)[m],
+                                  np.asarray(ax.material)[m])
+    if with_tangent:
+        np.testing.assert_allclose(np.asarray(ap.tangent)[m],
+                                   np.asarray(ax.tangent)[m], rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_inactive_and_padding():
+    scene = default_scene(16, 16).build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    isect = make_pallas_intersector(scene, bvh, with_tangent=False, interpret=True)
+    o, d = _rays_for(scene, 700)  # 700 % 1024 != 0
+    act = jnp.zeros(700, bool).at[:100].set(True)
+    hit, attrs = isect(o, d, act)
+    assert hit.t.shape == (700,)
+    assert not np.asarray(hit.mask)[100:].any()
+    assert np.asarray(hit.mask)[:100].any()
+
+
+def test_pallas_dragon_primaries(reference_data_root):
+    b = load_scene(f"{reference_data_root}/data/scenes/dragon.scn",
+                   data_root=reference_data_root)
+    scene = b.build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    isect_x = make_packet_intersector(scene, bvh, leaf_size=64, packet_size=1024,
+                                      with_tangent=False)
+    isect_p = make_pallas_intersector(scene, bvh, with_tangent=False, interpret=True)
+    assert isect_p is not None  # dragon fits VMEM budget
+
+    n = 1024
+    o, d = _rays_for(scene, n, seed=3)
+    act = jnp.ones(n, bool)
+    hx, _ = isect_x(o, d, act)
+    hp, _ = isect_p(o, d, act)
+    np.testing.assert_array_equal(np.asarray(hp.mask), np.asarray(hx.mask))
+    m = np.asarray(hx.mask)
+    np.testing.assert_allclose(np.asarray(hp.t)[m], np.asarray(hx.t)[m], rtol=1e-6)

@@ -172,12 +172,16 @@ def _traverse_packet(o, d, active, bvh, tri, leaf_size, stack_depth,
             w_bc = 1.0 - u_bc - v_bc
 
             def interp3(a0, a1, a2):
-                # [L,3] corner attrs -> [B,3] at the winning lane.
-                c0 = jnp.einsum("bl,lk->bk", ohf, a0)
-                c1 = jnp.einsum("bl,lk->bk", ohf, a1)
-                c2 = jnp.einsum("bl,lk->bk", ohf, a2)
+                # [L,K] corner attrs -> [B,K] at the winning lane. Explicit
+                # VPU multiply-sums: a [B,L]x[L,K] einsum would hit the MXU,
+                # whose fixed pipeline latency dwarfs this tiny contraction.
+                def pick(a):
+                    return jnp.sum(ohf[:, :, None] * a[None, :, :], axis=1)
+
                 return (
-                    w_bc[:, None] * c0 + u_bc[:, None] * c1 + v_bc[:, None] * c2
+                    w_bc[:, None] * pick(a0)
+                    + u_bc[:, None] * pick(a1)
+                    + v_bc[:, None] * pick(a2)
                 )
 
             n_i = interp3(sl(tri["n0"], 3), sl(tri["n1"], 3), sl(tri["n2"], 3))
@@ -209,11 +213,16 @@ def _traverse_packet(o, d, active, bvh, tri, leaf_size, stack_depth,
             rhit, rt = _slab(o, inv_d, rrow[0:3], rrow[3:6], s.t)
             lhit = lhit & active
             rhit = rhit & active
-            l_any = jnp.any(lhit)
-            r_any = jnp.any(rhit)
-            lmean = jnp.sum(jnp.where(lhit, lt, 0.0)) / jnp.maximum(jnp.sum(lhit), 1)
-            rmean = jnp.sum(jnp.where(rhit, rt, 0.0)) / jnp.maximum(jnp.sum(rhit), 1)
-            near_is_left = lmean <= rmean
+            # ONE batched cross-lane reduction instead of several scalar
+            # reductions (each costs ~us on TPU): min entry distance per
+            # child, FLT_MAX when no lane hits.
+            packed = jnp.stack(
+                [jnp.where(lhit, lt, FLT_MAX), jnp.where(rhit, rt, FLT_MAX)]
+            )  # [2, B]
+            mins = jnp.min(packed, axis=-1)  # [2]
+            l_any = mins[0] < FLT_MAX
+            r_any = mins[1] < FLT_MAX
+            near_is_left = mins[0] <= mins[1]
             near = jnp.where(near_is_left, left, right)
             far = jnp.where(near_is_left, right, left)
             near_any = jnp.where(near_is_left, l_any, r_any)
