@@ -84,8 +84,9 @@ class RenderConfig:
     # Ray chunking: rays per device-side wavefront chunk (0 = all at once).
     ray_chunk: int = 0
 
-    # Pallas kernels on/off (jnp fallback used when False or unsupported).
-    use_pallas: bool = False
+    # Pallas kernels (TPU only; automatic XLA fallback when the scene doesn't
+    # fit the kernel's VMEM budget or the backend is CPU).
+    use_pallas: bool = True
 
     # Compute dtype for shading math.
     dtype: str = "float32"

@@ -75,21 +75,47 @@ def sample_radiance_rows(
     cols = jnp.arange(w, dtype=jnp.int32)
     pixel_idx = (rows[:, None] * w + cols[None, :]).astype(jnp.uint32)
 
+    # Tile the pixel order so each traversal packet covers a square image
+    # tile instead of a thin scanline strip — much smaller BVH footprint per
+    # packet. Pure reshape/transpose (zero gathers); untile() restores image
+    # order. Tiles are 32x32 = one 1024-ray packet.
+    tile = 32
+    use_tiles = (
+        cfg.accel == "packet" and num_rows % tile == 0 and w % tile == 0
+    )
+
+    def tile_fold(x):  # [R, W, ...] -> [R*W, ...] in tile-major order
+        extra = x.shape[2:]
+        x = x.reshape((num_rows // tile, tile, w // tile, tile) + extra)
+        x = jnp.swapaxes(x, 1, 2)
+        return x.reshape((num_rows * w,) + extra)
+
+    def tile_unfold(x):  # inverse of tile_fold
+        extra = x.shape[1:]
+        x = x.reshape((num_rows // tile, w // tile, tile, tile) + extra)
+        x = jnp.swapaxes(x, 1, 2)
+        return x.reshape((num_rows, w) + extra)
+
     def one_sample(s):
         sample_key = frame.astype(jnp.uint32) * jnp.uint32(total_spp) + s.astype(jnp.uint32)
         ju = rng.uniform(pixel_idx, sample_key, JITTER_BOUNCE, 0)
         jv = rng.uniform(pixel_idx, sample_key, JITTER_BOUNCE, 1)
         ss, tt = pixel_samples_rows(w, h, rows, ju, jv)
         origin, direction = scene.camera.generate_rays(ss, tt)
-        origin = origin.reshape(-1, 3)
-        direction = direction.reshape(-1, 3)
+
+        if use_tiles:
+            origin = tile_fold(origin)
+            direction = tile_fold(direction)
+            flat_pix = tile_fold(pixel_idx)
+        else:
+            origin = origin.reshape(-1, 3)
+            direction = direction.reshape(-1, 3)
+            flat_pix = pixel_idx.reshape(-1)
 
         if cfg.aov != "beauty":
             radiance = trace_aov(scene, origin, direction, cfg, intersect_fn)
             rays = jnp.asarray(num_rows * w, dtype=jnp.int32)
         else:
-            flat_pix = pixel_idx.reshape(-1)
-
             def run(o, d, pix):
                 return trace_paths(scene, o, d, pix, sample_key, cfg, intersect_fn)
 
@@ -108,6 +134,8 @@ def sample_radiance_rows(
                 radiance, rays = rad_c.reshape(n, 3), jnp.sum(rays_c)
             else:
                 radiance, rays = run(origin, direction, flat_pix)
+        if use_tiles:
+            return tile_unfold(radiance), rays
         return radiance.reshape(num_rows, w, 3), rays
 
     if spp_count == 1:
@@ -188,13 +216,26 @@ class Renderer:
             with_tangent = bool(
                 (np.asarray(scene.materials.tex_index)[:, TEX_NORMAL] >= 0).any()
             )
-            isect = make_packet_intersector(
-                scene, bvh,
-                leaf_size=self.cfg.packet_leaf_size,
-                stack_depth=self.cfg.traversal_stack_depth,
-                packet_size=self.cfg.packet_size,
-                with_tangent=with_tangent,
-            )
+            isect = None
+            if self.cfg.use_pallas and jax.default_backend() not in ("cpu",):
+                from tracy_tpu.ops.pallas_packet import make_pallas_intersector
+
+                isect = make_pallas_intersector(
+                    scene, bvh, with_tangent=with_tangent,
+                    stack_depth=self.cfg.traversal_stack_depth,
+                )
+                if isect is None:
+                    from tracy_tpu.utils.log import log
+
+                    log("scene exceeds Pallas VMEM budget; using XLA packet path")
+            if isect is None:
+                isect = make_packet_intersector(
+                    scene, bvh,
+                    leaf_size=self.cfg.packet_leaf_size,
+                    stack_depth=self.cfg.traversal_stack_depth,
+                    packet_size=self.cfg.packet_size,
+                    with_tangent=with_tangent,
+                )
             self._factory = lambda sc: isect
         elif self.cfg.accel == "bvh":
             from tracy_tpu.accel.bvh import build_scene_bvh, make_bvh_intersector
