@@ -36,7 +36,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("-scene", default=None, help=".scn file (default: builtin scene)")
-    p.add_argument("-kernel", default="pt", choices=["pt", "pt-bf", "raster"])
+    p.add_argument("-kernel", default="pt",
+                   choices=["pt", "pt-bf", "raster", "raster-gl"])
     p.add_argument("-width", type=int, default=640)
     p.add_argument("-height", type=int, default=480)
     p.add_argument("-frames", type=int, default=16)
@@ -87,11 +88,16 @@ def main(argv=None):
         ray_chunk=args.ray_chunk,
     )
 
-    if args.kernel == "raster":
+    if args.kernel in ("raster", "raster-gl"):
         from tracy_tpu.raster.rasterizer import render_raster
 
+        shaded = args.kernel == "raster-gl"
         t0 = time.perf_counter()
-        img = render_raster(scene, cfg)
+        img = render_raster(scene, cfg, shaded=shaded)
+        if shaded:
+            from tracy_tpu.render import film
+
+            img = film.tonemap(img, cfg)
         dt = time.perf_counter() - t0
         log("raster frame: %.3fs" % dt)
         _save(np.asarray(img), args.out)

@@ -101,23 +101,29 @@ def _triangle_setup(scene: SceneArrays, width: int, height: int):
 
     rast = [raster(v) for v in clip]  # 3x [T, 2]
 
-    # vertex matrix rows: x row, y row, w row (cpu_render.cpp:151-156).
+    # Vertex matrix COLUMNS are the x', y', w vectors (cpu_render.cpp:151-156
+    # constructs cc::mat3 from column vectors): m[i][j] with rows i = vertex,
+    # columns j = (x', y', w). With this orientation rows of M^-1 are the
+    # edge functions and M^-1 @ (1,1,1) interpolates exactly 1/w.
     m = jnp.stack(
         [
             jnp.stack([rast[0][..., 0], rast[1][..., 0], rast[2][..., 0]], axis=-1),
             jnp.stack([rast[0][..., 1], rast[1][..., 1], rast[2][..., 1]], axis=-1),
             jnp.stack([clip[0][..., 3], clip[1][..., 3], clip[2][..., 3]], axis=-1),
         ],
-        axis=-2,
-    )  # [T, 3, 3]
+        axis=-1,
+    )  # [T, 3(vertex), 3(x'/y'/w)] -> transpose of the row form
     det = _det3(m)
     front = det < 0.0  # det<0 => front-facing (cpu_render.cpp:158-160)
     safe_det = jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
     minv = _inv3(m, safe_det)  # [T, 3, 3]
 
-    # Edge functions: rows of Minv normalized by |a|+|b| (cpu_render.cpp:166-171).
-    norm = jnp.abs(minv[..., 0]) + jnp.abs(minv[..., 1])
-    edges = minv / jnp.maximum(norm[..., None], 1e-30)  # [T, 3(row), 3]
+    # Edge functions: COLUMNS of Minv (glm operator[] = column; the
+    # reference's `vertex_matrix[i]` after inverse, cpu_render.cpp:166-171),
+    # normalized by |a|+|b|.
+    minv_t = jnp.swapaxes(minv, -1, -2)
+    norm = jnp.abs(minv_t[..., 0]) + jnp.abs(minv_t[..., 1])
+    edges = minv_t / jnp.maximum(norm[..., None], 1e-30)  # [T, 3(edge), 3]
 
     ones = jnp.ones((idx.shape[0], 3), clip[0].dtype)
     c_vec = jnp.einsum("tij,tj->ti", minv, ones)  # 1/w interpolator [T, 3]
@@ -137,16 +143,25 @@ def _edge_inside(e, value):
     )
 
 
-def render_raster(scene: SceneArrays, cfg: RenderConfig, tri_chunk: int = 64) -> jnp.ndarray:
-    """Rasterize to a float image [H, W, 3] in [0, 1]. jit-compiled."""
-    return _render_raster_jit(scene, cfg, tri_chunk)
+def render_raster(scene: SceneArrays, cfg: RenderConfig, tri_chunk: int = 64,
+                  shaded: bool = False) -> jnp.ndarray:
+    """Rasterize to a float image [H, W, 3] in [0, 1]. jit-compiled.
+
+    shaded=False mirrors the CPU raster kernel's FS (albedo only,
+    cpu_render.cpp:94). shaded=True mirrors the OpenGL kernel's ubershader
+    (opengl_render.cpp:98-176): textured mix(baseColor, 0, metalness)/pi
+    diffuse + emissive, normal mapping, and the equirect sky pass as the
+    background (opengl_render.cpp:178-231).
+    """
+    return _render_raster_jit(scene, cfg, tri_chunk, shaded)
 
 
 import functools
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _render_raster_jit(scene: SceneArrays, cfg: RenderConfig, tri_chunk: int):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _render_raster_jit(scene: SceneArrays, cfg: RenderConfig, tri_chunk: int,
+                       shaded: bool):
     w, h = cfg.width, cfg.height
     t_count = scene.indices.shape[0]
     edges, c_vec, z_vec, minv, front = _triangle_setup(scene, w, h)
@@ -234,25 +249,50 @@ def _render_raster_jit(scene: SceneArrays, cfg: RenderConfig, tri_chunk: int):
         pv = jnp.einsum("pij,pkj->pki", mi, corners)
         return jnp.einsum("pki,pi->pk", pv, sample) * frag_w[:, None]
 
+    from tracy_tpu.render.material import gather_surface_params, material_table_lookup
+
     mat_id = scene.tri_material[tri]
-    albedo = scene.materials.albedo[mat_id]
+    albedo, rough_tab, metal_tab, _ior, emis_tab, _tr, _tex = material_table_lookup(
+        scene.materials, mat_id
+    )
 
     aov = cfg.aov
     if aov == "normals":
         n = tm.normalize(interp(scene.vertex_normal))
         color = n * 0.5 + 0.5
     elif aov == "metalness":
-        color = jnp.repeat(scene.materials.metalness[mat_id][:, None], 3, axis=-1)
+        color = jnp.repeat(metal_tab[:, None], 3, axis=-1)
     elif aov == "roughness":
-        color = jnp.repeat(scene.materials.roughness[mat_id][:, None], 3, axis=-1)
+        color = jnp.repeat(rough_tab[:, None], 3, axis=-1)
     elif aov == "emissive":
-        color = scene.materials.emissive[mat_id]
+        color = emis_tab
     elif aov == "depth":
         color = jnp.repeat(jnp.where(hit, zbuf, 0.0)[:, None], 3, axis=-1)
+    elif shaded:
+        # OpenGL ubershader: textured diffuse/pi + emissive
+        # (opengl_render.cpp:134-160).
+        params = gather_surface_params(
+            scene, mat_id, interp(scene.vertex_uv)[:, :2],
+            interp(scene.vertex_normal), interp(scene.vertex_tangent),
+        )
+        diffuse = params.basecolor * (1.0 - params.metalness[:, None])
+        color = diffuse / jnp.pi + params.emissive
     else:  # beauty/basecolor: FS returns albedo (cpu_render.cpp:94)
         color = albedo
 
-    color = jnp.where(hit[:, None], color, 0.0)
+    if shaded and aov not in ("depth",):
+        # Sky background pass: equirect emissive sampled by the un-projected
+        # view ray (opengl_render.cpp:178-231).
+        from tracy_tpu.render.integrator import sky_emission
+
+        sgrid, tgrid = jnp.meshgrid(
+            (jnp.arange(w) + 0.5) / w, 1.0 - (jnp.arange(h) + 0.5) / h
+        )
+        _o, view_dir = scene.camera.generate_rays(sgrid.reshape(-1), tgrid.reshape(-1))
+        background = sky_emission(scene, view_dir)
+        color = jnp.where(hit[:, None], color, background)
+    else:
+        color = jnp.where(hit[:, None], color, 0.0)
     # Raster row 0 is already the top of the view (y' = h*(w_c - y_clip)/2,
     # so y_ndc=+1 -> y'=0), which matches our image convention; the
     # reference's SetPixel(x, h - y) merely undoes its bottom-up bitmap.
