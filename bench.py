@@ -48,9 +48,13 @@ def main():
     scene = b.build()
     print(f"[bench] scene: {b.name}, {b.num_triangles} tris", file=sys.stderr)
 
+    # spp is realized as extra progressive frames (statistically identical:
+    # the RNG sample axis advances with the frame counter) — a single
+    # well-tested device program per step instead of an spp loop inside jit.
+    frames_per_bench_frame = spp
     cfg = RenderConfig(
-        width=width, height=height, spp=spp, max_bounces=5,
-        russian_roulette=True, tonemap="srgb", accel="bvh",
+        width=width, height=height, spp=1, max_bounces=5,
+        russian_roulette=True, tonemap="srgb", accel="packet",
         ray_chunk=ray_chunk,
     )
     r = Renderer(cfg)
@@ -65,11 +69,12 @@ def main():
 
     r.timer.reset()
     r.total_rays = 0.0
-    for _ in range(frames):
+    for _ in range(frames * frames_per_bench_frame):
         state, rays = r.step(scene, state)
     mrays = r.mrays_per_sec
     print(
-        f"[bench] {frames} frames in {r.timer.total:.2f}s -> {mrays:.2f} MRays/s",
+        f"[bench] {frames}x{frames_per_bench_frame} frames in {r.timer.total:.2f}s "
+        f"-> {mrays:.2f} MRays/s",
         file=sys.stderr,
     )
 

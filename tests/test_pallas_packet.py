@@ -37,20 +37,26 @@ def test_pallas_matches_xla_packet(with_tangent):
     hx, ax = isect_x(o, d, act)
     hp, ap = isect_p(o, d, act)
 
-    np.testing.assert_array_equal(np.asarray(hp.mask), np.asarray(hx.mask))
-    m = np.asarray(hx.mask)
-    np.testing.assert_allclose(np.asarray(hp.t)[m], np.asarray(hx.t)[m], rtol=1e-6)
+    # The kernel uses the Woop unit-triangle reformulation (f64 host
+    # precompute, f32 eval) — numerically equal to Möller–Trumbore to ~1e-6
+    # rel on t; edge rays may very rarely flip. Measured headroom is ~10x
+    # below these bounds (t<=4e-7, uv<=6e-4 rel).
+    mx, mp = np.asarray(hx.mask), np.asarray(hp.mask)
+    assert (mx == mp).mean() >= 0.998
+    m = mx & mp
+    np.testing.assert_allclose(np.asarray(hp.t)[m], np.asarray(hx.t)[m], rtol=1e-5)
     np.testing.assert_allclose(np.asarray(hp.uv)[m], np.asarray(hx.uv)[m],
-                               rtol=1e-4, atol=1e-6)
+                               rtol=5e-3, atol=1e-4)
+    # Normals/tangents are stored bf16 in the kernel tables (~0.4% error).
     np.testing.assert_allclose(np.asarray(ap.normal)[m], np.asarray(ax.normal)[m],
-                               rtol=1e-4, atol=1e-5)
+                               rtol=8e-3, atol=8e-3)
     np.testing.assert_allclose(np.asarray(ap.uv)[m], np.asarray(ax.uv)[m],
-                               rtol=1e-4, atol=1e-5)
+                               rtol=5e-3, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(ap.material)[m],
                                   np.asarray(ax.material)[m])
     if with_tangent:
         np.testing.assert_allclose(np.asarray(ap.tangent)[m],
-                                   np.asarray(ax.tangent)[m], rtol=1e-4, atol=1e-5)
+                                   np.asarray(ax.tangent)[m], rtol=8e-3, atol=8e-3)
 
 
 def test_pallas_inactive_and_padding():
@@ -80,6 +86,7 @@ def test_pallas_dragon_primaries(reference_data_root):
     act = jnp.ones(n, bool)
     hx, _ = isect_x(o, d, act)
     hp, _ = isect_p(o, d, act)
-    np.testing.assert_array_equal(np.asarray(hp.mask), np.asarray(hx.mask))
-    m = np.asarray(hx.mask)
-    np.testing.assert_allclose(np.asarray(hp.t)[m], np.asarray(hx.t)[m], rtol=1e-6)
+    mx, mp = np.asarray(hx.mask), np.asarray(hp.mask)
+    assert (mx == mp).mean() >= 0.998
+    m = mx & mp
+    np.testing.assert_allclose(np.asarray(hp.t)[m], np.asarray(hx.t)[m], rtol=1e-5)

@@ -39,7 +39,8 @@ from tracy_tpu.core import math as tm
 from tracy_tpu.render.intersect import FLT_MAX, Hit
 from tracy_tpu.accel.packet import PackedBVH, PacketAttrs
 
-LEAF = 64  # static leaf window (builder leaf_size must be <= this)
+LEAF = 128  # static leaf window; every leaf owns an ALIGNED 128-slot chunk
+# (Mosaic vector loads from the lane dimension must be 128-aligned)
 PACKET = 1024  # rays per packet: [8, 128]
 EPS = float(tm.EPS)
 BIG = 3.4028235e38
@@ -50,67 +51,119 @@ class PallasSceneTables(NamedTuple):
 
     node_bounds: jnp.ndarray  # [Nn, 8] f32
     node_meta: jnp.ndarray  # [Nn, 4] i32
-    geom: jnp.ndarray  # [9, Tpad] f32: p0.xyz, e1.xyz, e2.xyz
-    attrs: jnp.ndarray  # [A, Tpad] f32: n0..n2 (9), uv0..uv2 (6), mat (1)[, t0..t2 (9)]
+    woop: jnp.ndarray  # [12, Tpad] f32 Woop affine rows: (R_k0,R_k1,R_k2,b_k) k=0..2
+    attrs: jnp.ndarray  # [7, Tpad] f32: uv0..uv2 (6), mat (1)
+    attrs16: jnp.ndarray  # [9|18, Tpad] bf16: n corners (9)[, tangent corners (9)]
 
     @property
     def with_tangent(self) -> bool:
-        return self.attrs.shape[0] > 16
+        return self.attrs16.shape[0] > 9
 
     @property
     def vmem_bytes(self) -> int:
         return (
             self.node_bounds.size * 4 + self.node_meta.size * 4
-            + self.geom.size * 4 + self.attrs.size * 4
+            + self.woop.size * 4 + self.attrs.size * 4 + self.attrs16.size * 2
         )
 
 
 def build_tables(scene, bvh: PackedBVH, with_tangent: bool) -> PallasSceneTables:
-    """Host-side packing of slot-ordered scene data into kernel planes."""
-    order = np.asarray(bvh.tri_order)
+    """Host-side packing of slot-ordered scene data into kernel planes.
+
+    Leaves are REALIGNED: every leaf gets its own 128-slot chunk (partial
+    leaves zero-padded; padding is masked by the leaf count and has det=0).
+    This satisfies Mosaic's 128-lane alignment requirement for the dynamic
+    window loads in the kernel.
+    """
+    meta = np.asarray(bvh.node_meta).copy()
+    order0 = np.asarray(bvh.tri_order)
+    leaf_nodes = np.where(meta[:, 1] > 0)[0]
+    # Bin-pack leaves into 128-slot chunks (first-fit decreasing) so window
+    # loads are chunk-aligned while padding waste stays small. A leaf's
+    # meta[0] becomes chunk*128 + sub_offset; the kernel masks
+    # [sub_offset, sub_offset + count) within the chunk.
+    counts = np.minimum(meta[leaf_nodes, 1], LEAF)
+    by_size = leaf_nodes[np.argsort(-counts)]
+    chunk_fill = []  # used slots per chunk
+    placement = {}
+    for n in by_size:
+        c = int(min(meta[n, 1], LEAF))
+        for ci in range(len(chunk_fill)):
+            if chunk_fill[ci] + c <= LEAF:
+                placement[n] = (ci, chunk_fill[ci])
+                chunk_fill[ci] += c
+                break
+        else:
+            placement[n] = (len(chunk_fill), 0)
+            chunk_fill.append(c)
+    aligned_slots = max(len(chunk_fill), 1) * LEAF
+    order = np.zeros((aligned_slots,), np.int64)
+    valid = np.zeros((aligned_slots,), bool)
+    for n in leaf_nodes:
+        f, c = int(meta[n, 0]), int(min(meta[n, 1], LEAF))
+        ci, sub = placement[n]
+        off = ci * LEAF + sub
+        order[off : off + c] = order0[f : f + c]
+        valid[off : off + c] = True
+        meta[n, 0] = off
+        meta[n, 1] = c
+
     idx = np.asarray(scene.indices)[order]
-    pos = np.asarray(scene.vertex_pos, np.float32)
+    pos = np.asarray(scene.vertex_pos, np.float64)
     nrm = np.asarray(scene.vertex_normal, np.float32)
     uv = np.asarray(scene.vertex_uv, np.float32)
     p0, p1, p2 = pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
     e1, e2 = p1 - p0, p2 - p0
 
-    t = len(order)
-    tpad = -(-t // 128) * 128 + LEAF  # lane alignment + leaf overrun slack
-
     def plane(x):
-        out = np.zeros((tpad,), np.float32)
-        out[: len(x)] = x
+        out = np.where(valid, np.asarray(x, np.float32), 0.0).astype(np.float32)
         return out
 
-    geom = np.stack([plane(a) for a in
-                     [p0[:, 0], p0[:, 1], p0[:, 2],
-                      e1[:, 0], e1[:, 1], e1[:, 2],
-                      e2[:, 0], e2[:, 1], e2[:, 2]]])
+    # Woop unit-triangle transform per slot (f64 host precompute): with
+    # B = [e1 e2 n] (columns, n = e1 x e2), R = B^-1, b = -R p0, a ray maps
+    # to o' = R o + b, d' = R d; then t = -o'z/d'z, u = o'x + t d'x,
+    # v = o'y + t d'y, front-facing iff d'z < 0 (det_MT = -d.n).
+    n_vec = np.cross(e1, e2)
+    n2 = np.einsum("ij,ij->i", n_vec, n_vec)
+    ok_tri = (n2 > 1e-30) & valid
+    B = np.stack([e1, e2, n_vec], axis=-1)  # [S, 3, 3]
+    B_safe = np.where(ok_tri[:, None, None], B, np.eye(3)[None])
+    R = np.linalg.inv(B_safe)
+    R = np.where(ok_tri[:, None, None], R, 0.0)
+    bvec = -np.einsum("sij,sj->si", R, p0)
+    woop = np.stack([
+        plane(R[:, 0, 0]), plane(R[:, 0, 1]), plane(R[:, 0, 2]), plane(bvec[:, 0]),
+        plane(R[:, 1, 0]), plane(R[:, 1, 1]), plane(R[:, 1, 2]), plane(bvec[:, 1]),
+        plane(R[:, 2, 0]), plane(R[:, 2, 1]), plane(R[:, 2, 2]), plane(bvec[:, 2]),
+    ])
 
     n0, n1, n2 = nrm[idx[:, 0]], nrm[idx[:, 1]], nrm[idx[:, 2]]
     u0, u1, u2 = uv[idx[:, 0]], uv[idx[:, 1]], uv[idx[:, 2]]
     mat = np.asarray(scene.tri_material)[order].astype(np.float32)
-    attr_list = [n0[:, 0], n0[:, 1], n0[:, 2], n1[:, 0], n1[:, 1], n1[:, 2],
-                 n2[:, 0], n2[:, 1], n2[:, 2],
-                 u0[:, 0], u0[:, 1], u1[:, 0], u1[:, 1], u2[:, 0], u2[:, 1],
-                 mat]
+    # f32 planes: texture uvs (precision matters for texel addressing) + mat.
+    attrs = np.stack([plane(a) for a in
+                      [u0[:, 0], u0[:, 1], u1[:, 0], u1[:, 1],
+                       u2[:, 0], u2[:, 1], mat]])
+    # bf16 planes: shading normals (and tangents) tolerate ~0.4% error.
+    a16_list = [n0[:, 0], n0[:, 1], n0[:, 2], n1[:, 0], n1[:, 1], n1[:, 2],
+                n2[:, 0], n2[:, 1], n2[:, 2]]
     if with_tangent:
         tan = np.asarray(scene.vertex_tangent, np.float32)
         t0, t1c, t2c = tan[idx[:, 0]], tan[idx[:, 1]], tan[idx[:, 2]]
-        attr_list += [t0[:, 0], t0[:, 1], t0[:, 2], t1c[:, 0], t1c[:, 1],
-                      t1c[:, 2], t2c[:, 0], t2c[:, 1], t2c[:, 2]]
-    attrs = np.stack([plane(a) for a in attr_list])
+        a16_list += [t0[:, 0], t0[:, 1], t0[:, 2], t1c[:, 0], t1c[:, 1],
+                     t1c[:, 2], t2c[:, 0], t2c[:, 1], t2c[:, 2]]
+    attrs16 = np.stack([plane(a) for a in a16_list]).astype(jnp.bfloat16)
 
     return PallasSceneTables(
         node_bounds=jnp.asarray(np.asarray(bvh.node_bounds, np.float32)),
-        node_meta=jnp.asarray(np.asarray(bvh.node_meta, np.int32)),
-        geom=jnp.asarray(geom),
+        node_meta=jnp.asarray(meta.astype(np.int32)),
+        woop=jnp.asarray(woop),
         attrs=jnp.asarray(attrs),
+        attrs16=jnp.asarray(attrs16),
     )
 
 
-def _kernel(nb_ref, nm_ref, geom_ref, attr_ref, rays_ref, out_ref, stack_ref,
+def _kernel(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays_ref, out_ref, stack_ref,
             *, stack_depth: int, num_attr: int, num_out: int):
     """One packet: rays_ref [2*3+1, 8, 128] (o, d, active), out planes
     [3 + 1 + num_attr, 8, 128] (t, u, v, mask, attrs...)."""
@@ -204,90 +257,135 @@ def _kernel(nb_ref, nm_ref, geom_ref, attr_ref, rays_ref, out_ref, stack_ref,
             sp_in, bt = c[0], c[1]
             first = m_first
 
-            # Load leaf windows [LEAF] and lift to [LEAF, 1] for broadcast.
-            def win(ref, k):
-                return ref[k, pl.ds(first, LEAF)].reshape(LEAF, 1)
+            # The leaf's CHUNK is 128-aligned by construction (build_tables
+            # bin-packs leaves into chunks; the multiple_of hint asserts it).
+            chunk_base = pl.multiple_of((first // LEAF) * LEAF, LEAF)
+            sub_off = first - chunk_base
 
-            p0x, p0y, p0z = win(geom_ref, 0), win(geom_ref, 1), win(geom_ref, 2)
-            e1x, e1y, e1z = win(geom_ref, 3), win(geom_ref, 4), win(geom_ref, 5)
-            e2x, e2y, e2z = win(geom_ref, 6), win(geom_ref, 7), win(geom_ref, 8)
-            attr_wins = [win(attr_ref, k) for k in range(num_attr)]
+            def wincol(ref, k):  # [LEAF, 1] sublane window (broadcast vs rays)
+                return ref[k, pl.ds(chunk_base, LEAF)].reshape(LEAF, 1)
 
-            lane_ok = sub_iota < m_count  # [LEAF, 128]
+            def winrow(ref, k):  # [1, LEAF] lane window (for winner gathers)
+                return ref[k, pl.ds(chunk_base, LEAF)].reshape(1, LEAF)
 
-            new = list(c)
-            # Process ray rows (8 sublanes of the packet) one at a time:
-            # [LEAF, 128] vreg tiles (64 tris x 128 rays).
-            for r in range(8):
-                o_r = (ox[r], oy[r], oz[r])  # [128]
-                d_r = (dx[r], dy[r], dz[r])
-                # Möller–Trumbore, mirrored from collision.h:33-74.
-                pvx = d_r[1] * e2z - d_r[2] * e2y  # [LEAF, 128]
-                pvy = d_r[2] * e2x - d_r[0] * e2z
-                pvz = d_r[0] * e2y - d_r[1] * e2x
-                det = e1x * pvx + e1y * pvy + e1z * pvz
-                tvx = o_r[0] - p0x
-                tvy = o_r[1] - p0y
-                tvz = o_r[2] - p0z
-                uu = tvx * pvx + tvy * pvy + tvz * pvz
-                qvx = tvy * e1z - tvz * e1y
-                qvy = tvz * e1x - tvx * e1z
-                qvz = tvx * e1y - tvy * e1x
-                vv = d_r[0] * qvx + d_r[1] * qvy + d_r[2] * qvz
-                ts = e2x * qvx + e2y * qvy + e2z * qvz
-                det_ok = det > EPS
-                inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
-                tt = ts * inv_det
-                bt_r = new[1][r]  # [128] current best for this row
+            def winrow16(ref_idx):
+                return attr16_ref[ref_idx, pl.ds(chunk_base, LEAF)].reshape(1, LEAF)
+
+            # Woop coefficient windows as [LEAF, 1] for the pair grid.
+            W = [wincol(woop_ref, k) for k in range(12)]
+
+            lane_ok = (sub_iota >= sub_off) & (sub_iota < sub_off + m_count)
+
+            # One ray row (8 sublanes of the packet) per fori iteration:
+            # [LEAF, 128] vreg tiles (128 tris x 128 rays). The loop only
+            # finds each ray's candidate (t, tri index); the winner readback
+            # (gathers + attribute interpolation) happens ONCE per leaf on
+            # [8, 128] planes afterwards.
+            best_t_plane = c[1]
+
+            def row_body(r, carry):
+                cand_t, cand_idx = carry
+                r_mask = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == r
+
+                def row(plane):  # row r of [8,128] without dynamic_slice
+                    return jnp.sum(jnp.where(r_mask, plane, 0.0), axis=0)
+
+                orx, ory, orz = row(ox), row(oy), row(oz)  # [128]
+                drx, dry, drz = row(dx), row(dy), row(dz)
+
+                # o'_k = R_k . o + b_k ; d'_k = R_k . d   -> [LEAF, 128]
+                opz = W[8] * orx + W[9] * ory + W[10] * orz + W[11]
+                dpz = W[8] * drx + W[9] * dry + W[10] * drz
+                # Front-facing iff d'z < 0 (MT det = -d.n); guard the rcp.
+                dz_ok = dpz < 0.0
+                inv_dz = jnp.where(dz_ok, 1.0 / jnp.where(dz_ok, dpz, -1.0), 0.0)
+                tt = -opz * inv_dz
+                opx = W[0] * orx + W[1] * ory + W[2] * orz + W[3]
+                dpx = W[0] * drx + W[1] * dry + W[2] * drz
+                opy = W[4] * orx + W[5] * ory + W[6] * orz + W[7]
+                dpy = W[4] * drx + W[5] * dry + W[6] * drz
+                uu = opx + tt * dpx
+                vv = opy + tt * dpy
+                bt_r = row(best_t_plane)  # [128] best before this leaf
                 ok = (
-                    det_ok & (uu >= EPS) & (uu <= det) & (vv >= EPS)
-                    & (uu + vv <= det) & (tt > EPS) & (tt < bt_r)
-                    & lane_ok
+                    dz_ok & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                    & (tt > EPS) & (tt < bt_r) & lane_ok
                 )
                 tt = jnp.where(ok, tt, jnp.float32(BIG))
                 row_best = jnp.min(tt, axis=0)  # [128]
-                imp = row_best < bt_r
-                oh = (tt == row_best) & ok  # [LEAF, 128]
-                oh = oh & (jnp.cumsum(oh.astype(jnp.int32), axis=0) <= 1)
-                ohf = oh.astype(jnp.float32)
+                oh_raw = (tt == row_best) & ok  # [LEAF, 128]
+                # First-match tie-break: smallest sublane index among ties.
+                win_idx = jnp.min(
+                    jnp.where(oh_raw, sub_iota, jnp.int32(LEAF)), axis=0
+                )  # [128]
+                upd = r_mask  # write this row's results
+                cand_t = jnp.where(upd, row_best[None, :], cand_t)
+                cand_idx = jnp.where(upd, win_idx[None, :], cand_idx)
+                return (cand_t, cand_idx)
 
-                u_sel = jnp.sum(uu * inv_det * ohf, axis=0)
-                v_sel = jnp.sum(vv * inv_det * ohf, axis=0)
-                w_sel = 1.0 - u_sel - v_sel
+            cand_t, cand_idx = jax.lax.fori_loop(
+                0, 8, row_body,
+                (jnp.full((8, 128), jnp.float32(BIG)),
+                 jnp.full((8, 128), jnp.int32(LEAF))),
+            )
 
-                def sel(wv):  # [LEAF,1] window -> [128] at winning tri
-                    return jnp.sum(wv * ohf, axis=0)
+            imp = cand_t < best_t_plane  # [8, 128]
+            gidx = jnp.minimum(cand_idx, LEAF - 1)
 
-                new[1] = new[1].at[r].set(jnp.where(imp, row_best, bt_r))
-                new[2] = new[2].at[r].set(jnp.where(imp, u_sel, new[2][r]))
-                new[3] = new[3].at[r].set(jnp.where(imp, v_sel, new[3][r]))
+            # Winner readback: per-lane gather WITHIN the 128-lane chunk row
+            # (tpu dynamic_gather — fast), batched over all 8 ray rows.
+            def pick(ref, k):
+                w = jnp.broadcast_to(winrow(ref, k), (8, LEAF))
+                return jnp.take_along_axis(w, gidx, axis=1)
 
-                # Attribute planes are corner-major: n0.xyz n1.xyz n2.xyz
-                # uv0 uv1 uv2, mat[, t0.xyz t1.xyz t2.xyz] — interpolation
-                # combines planes (c, 3+c, 6+c) etc.
-                out_vals = []
-                for comp in range(3):  # normal xyz
-                    a0 = sel(attr_wins[comp])
-                    a1 = sel(attr_wins[3 + comp])
-                    a2 = sel(attr_wins[6 + comp])
-                    out_vals.append(w_sel * a0 + u_sel * a1 + v_sel * a2)
-                for comp in range(2):  # uv
-                    a0 = sel(attr_wins[9 + comp])
-                    a1 = sel(attr_wins[11 + comp])
-                    a2 = sel(attr_wins[13 + comp])
-                    out_vals.append(w_sel * a0 + u_sel * a1 + v_sel * a2)
-                out_vals.append(sel(attr_wins[15]))  # material id
-                if num_attr > 16:  # tangents
-                    for comp in range(3):
-                        a0 = sel(attr_wins[16 + comp])
-                        a1 = sel(attr_wins[19 + comp])
-                        a2 = sel(attr_wins[22 + comp])
-                        out_vals.append(w_sel * a0 + u_sel * a1 + v_sel * a2)
+            Wsel = [pick(woop_ref, k) for k in range(12)]
+            opx_s = Wsel[0] * ox + Wsel[1] * oy + Wsel[2] * oz + Wsel[3]
+            dpx_s = Wsel[0] * dx + Wsel[1] * dy + Wsel[2] * dz
+            opy_s = Wsel[4] * ox + Wsel[5] * oy + Wsel[6] * oz + Wsel[7]
+            dpy_s = Wsel[4] * dx + Wsel[5] * dy + Wsel[6] * dz
+            u_sel = opx_s + cand_t * dpx_s
+            v_sel = opy_s + cand_t * dpy_s
+            w_sel = 1.0 - u_sel - v_sel
 
-                for k, val in enumerate(out_vals):
-                    new[4 + k] = new[4 + k].at[r].set(
-                        jnp.where(imp, val, new[4 + k][r])
+            def asel(k):  # f32 planes: uv0..uv2 (0..5), mat (6)
+                return pick(attr_ref, k)
+
+            def asel16(k):  # bf16 planes: n corners (0..8)[, tangents 9..17]
+                w = jnp.broadcast_to(winrow16(ref_idx=k), (8, LEAF))
+                return jnp.take_along_axis(w, gidx, axis=1).astype(jnp.float32)
+
+            new = list(c)
+
+            def put(plane, val):
+                return jnp.where(imp, val, plane)
+
+            new[1] = put(new[1], cand_t)
+            new[2] = put(new[2], u_sel)
+            new[3] = put(new[3], v_sel)
+
+            # Attr planes are corner-major: n0.xyz n1.xyz n2.xyz,
+            # uv0 uv1 uv2, mat[, t0.xyz t1.xyz t2.xyz].
+            out_vals = []
+            for comp in range(3):  # normal xyz (bf16 planes)
+                out_vals.append(
+                    w_sel * asel16(comp) + u_sel * asel16(3 + comp)
+                    + v_sel * asel16(6 + comp)
+                )
+            for comp in range(2):  # uv (f32 planes)
+                out_vals.append(
+                    w_sel * asel(comp) + u_sel * asel(2 + comp)
+                    + v_sel * asel(4 + comp)
+                )
+            out_vals.append(asel(6))  # material id
+            if num_attr > 16:  # tangents (bf16 planes)
+                for comp in range(3):
+                    out_vals.append(
+                        w_sel * asel16(9 + comp) + u_sel * asel16(12 + comp)
+                        + v_sel * asel16(15 + comp)
                     )
+
+            for k, val in enumerate(out_vals):
+                new[4 + k] = put(new[4 + k], val)
 
             return (sp_in,) + tuple(new[1:])
 
@@ -344,8 +442,8 @@ def pallas_intersect(
         num_out=na,
     )
 
-    def kernel_wrap(nb, nm, geom, attrs, rays_blk, out_blk, stack):
-        kernel(nb, nm, geom, attrs, rays_blk[0], out_blk, stack)
+    def kernel_wrap(nb, nm, woop, attrs, attrs16, rays_blk, out_blk, stack):
+        kernel(nb, nm, woop, attrs, attrs16, rays_blk[0], out_blk, stack)
 
     out = pl.pallas_call(
         kernel_wrap,
@@ -356,9 +454,11 @@ def pallas_intersect(
                          lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(tables.node_meta.shape,
                          lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(tables.geom.shape,
+            pl.BlockSpec(tables.woop.shape,
                          lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(tables.attrs.shape,
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tables.attrs16.shape,
                          lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 7, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -367,7 +467,7 @@ def pallas_intersect(
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32)],
         interpret=interpret,
-    )(tables.node_bounds, tables.node_meta, tables.geom, tables.attrs, rays)
+    )(tables.node_bounds, tables.node_meta, tables.woop, tables.attrs, tables.attrs16, rays)
 
     def flat(p):
         return out[:, p].reshape(npad)[:n]

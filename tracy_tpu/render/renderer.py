@@ -270,6 +270,19 @@ class Renderer:
         self.total_rays += float(rays)
         return state, rays
 
+    def render_progressive(self, scene: SceneArrays, frames: int,
+                           state: Optional[RenderState] = None):
+        """Run `frames` progressive steps; returns the final state.
+
+        Prefer spp=1 configs with more frames on TPU — the sample axis then
+        advances via the frame counter (statistically identical) and each
+        step stays a single well-tested device program.
+        """
+        state = init_state(self.cfg) if state is None else state
+        for _ in range(frames):
+            state, _ = self.step(scene, state)
+        return state
+
     def display(self, state: RenderState) -> np.ndarray:
         return np.asarray(film.tonemap(state.accum, self.cfg))
 
