@@ -351,8 +351,12 @@ def _kernel(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays_ref, out_ref, s
                 return pick(attr_ref, k)
 
             def asel16(k):  # bf16 planes: n corners (0..8)[, tangents 9..17]
-                w = jnp.broadcast_to(winrow16(ref_idx=k), (8, LEAF))
-                return jnp.take_along_axis(w, gidx, axis=1).astype(jnp.float32)
+                # tpu.dynamic_gather needs value/index bitwidths to match:
+                # upcast the small [1, LEAF] window to f32 BEFORE the gather.
+                w = jnp.broadcast_to(
+                    winrow16(ref_idx=k).astype(jnp.float32), (8, LEAF)
+                )
+                return jnp.take_along_axis(w, gidx, axis=1)
 
             new = list(c)
 
