@@ -134,6 +134,21 @@ def test_parse_cornell_details(reference_data_root):
     assert scene.num_triangles == 8 * 12
 
 
+@pytest.mark.slow
+def test_bunny_scene_loads_and_builds(reference_data_root):
+    """bunny.scn: 70K-tri OBJ + jade translucent material + BVH build."""
+    b = load_scene(f"{reference_data_root}/data/scenes/bunny.scn",
+                   data_root=reference_data_root)
+    assert b.num_triangles > 60000
+    jade = b.materials[3]
+    assert jade.translucency == 1.0 and jade.ior == 1.5
+    scene = b.build()
+    from tracy_tpu.accel.packet import build_packet_bvh
+
+    bvh, host = build_packet_bvh(scene, leaf_size=64)
+    assert host.max_depth < 40
+
+
 def test_parse_spheres_scene_with_missing_sky(reference_data_root):
     # spheres.scn references data/sky.hdr which doesn't exist -> fallback.
     b = load_scene(f"{reference_data_root}/data/scenes/spheres.scn", data_root=reference_data_root)
