@@ -60,9 +60,18 @@ def main():
     r = Renderer(cfg)
     state = init_state(cfg)
 
-    # Warmup (compile + first frame).
+    # Warmup (compile + first frame); on a device/compile error fall back to
+    # the XLA packet path once.
     t0 = time.perf_counter()
-    state, rays = r.step(scene, state)
+    try:
+        state, rays = r.step(scene, state)
+    except Exception as e:
+        print(f"[bench] pallas path failed ({type(e).__name__}); falling back "
+              f"to XLA packet path", file=sys.stderr)
+        cfg = cfg.replace(use_pallas=False)
+        r = Renderer(cfg)
+        state = init_state(cfg)
+        state, rays = r.step(scene, state)
     t1 = time.perf_counter()
     print(f"[bench] warmup (compile+frame): {t1 - t0:.1f}s, rays={int(rays)}",
           file=sys.stderr)
