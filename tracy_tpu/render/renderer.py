@@ -190,7 +190,11 @@ class Renderer:
 
     def __init__(self, cfg: RenderConfig, intersector_factory=None):
         self.cfg = cfg
-        self._factory = intersector_factory
+        self._bind = None
+        self._accel_data = ()
+        if intersector_factory is not None:
+            # Back-compat: factory(scene) -> IntersectFn (closure-based).
+            self._bind = lambda sc, acc: intersector_factory(sc)
         self._jit_step = jax.jit(self._step_impl, donate_argnums=(1,))
         self.timer = Timer()
         self.total_rays = 0.0
@@ -198,13 +202,24 @@ class Renderer:
     def _ensure_accel(self, scene: SceneArrays):
         """Build the acceleration structure once per renderer (host-side;
         equivalent of the reference kernel Startup -> ProcessScene boundary,
-        cpu_details.cpp:26-86)."""
-        if self._factory is not None:
+        cpu_details.cpp:26-86).
+
+        Accel arrays are threaded through the jit boundary as ARGUMENTS
+        (self._accel_data) rather than closure constants — closed-over
+        concrete arrays get embedded as literals in the HLO, which balloons
+        the module past what the compile service accepts (~10MB for the
+        dragon tables).
+        """
+        if self._bind is not None:
             return
         if self.cfg.accel == "packet":
             import numpy as np
 
-            from tracy_tpu.accel.packet import build_packet_bvh, make_packet_intersector
+            from tracy_tpu.accel.packet import (
+                build_packet_bvh,
+                intersect_packet,
+                prepare_packet_tri_data_host,
+            )
             from tracy_tpu.scene.scene import TEX_NORMAL
 
             bvh, host = build_packet_bvh(
@@ -216,27 +231,46 @@ class Renderer:
             with_tangent = bool(
                 (np.asarray(scene.materials.tex_index)[:, TEX_NORMAL] >= 0).any()
             )
-            isect = None
+            tables = None
             if self.cfg.use_pallas and jax.default_backend() not in ("cpu",):
-                from tracy_tpu.ops.pallas_packet import make_pallas_intersector
+                from tracy_tpu.ops.pallas_packet import build_tables
 
-                isect = make_pallas_intersector(
-                    scene, bvh, with_tangent=with_tangent,
-                    stack_depth=self.cfg.traversal_stack_depth,
-                )
-                if isect is None:
+                cand = build_tables(scene, bvh, with_tangent)
+                if cand.vmem_bytes <= 12 * 1024 * 1024:
+                    tables = cand
+                else:
                     from tracy_tpu.utils.log import log
 
                     log("scene exceeds Pallas VMEM budget; using XLA packet path")
-            if isect is None:
-                isect = make_packet_intersector(
-                    scene, bvh,
-                    leaf_size=self.cfg.packet_leaf_size,
-                    stack_depth=self.cfg.traversal_stack_depth,
-                    packet_size=self.cfg.packet_size,
-                    with_tangent=with_tangent,
-                )
-            self._factory = lambda sc: isect
+
+            if tables is not None:
+                from tracy_tpu.ops.pallas_packet import pallas_intersect
+
+                depth = self.cfg.traversal_stack_depth
+                self._accel_data = tables
+
+                def bind(sc, acc):
+                    return lambda o, d, act: pallas_intersect(
+                        o, d, act, acc, stack_depth=depth
+                    )
+
+                self._bind = bind
+            else:
+                leaf = self.cfg.packet_leaf_size
+                depth = self.cfg.traversal_stack_depth
+                psize = self.cfg.packet_size
+                tri = prepare_packet_tri_data_host(scene, bvh, with_tangent)
+                self._accel_data = (bvh, tri)
+
+                def bind(sc, acc):
+                    bvh_a, tri_a = acc
+                    return lambda o, d, act: intersect_packet(
+                        o, d, tri_a, bvh_a, active=act, leaf_size=leaf,
+                        stack_depth=depth, packet_size=psize,
+                        with_tangent=with_tangent,
+                    )
+
+                self._bind = bind
         elif self.cfg.accel == "bvh":
             from tracy_tpu.accel.bvh import build_scene_bvh, make_bvh_intersector
 
@@ -247,14 +281,18 @@ class Renderer:
             )
             leaf = self.cfg.bvh_leaf_size
             depth = self.cfg.traversal_stack_depth
-            self._factory = lambda sc: make_bvh_intersector(
-                sc, dev, leaf_size=leaf, stack_depth=depth
-            )
-        else:
-            self._factory = lambda sc: make_bruteforce_intersector(sc)
+            self._accel_data = dev
 
-    def _step_impl(self, scene: SceneArrays, state: RenderState):
-        return render_step(scene, state, self.cfg, self._factory(scene))
+            def bind(sc, acc):
+                return make_bvh_intersector(sc, acc, leaf_size=leaf, stack_depth=depth)
+
+            self._bind = bind
+        else:
+            self._accel_data = ()
+            self._bind = lambda sc, acc: make_bruteforce_intersector(sc)
+
+    def _step_impl(self, scene: SceneArrays, state: RenderState, accel):
+        return render_step(scene, state, self.cfg, self._bind(scene, accel))
 
     def reset(self) -> RenderState:
         self.total_rays = 0.0
@@ -264,7 +302,7 @@ class Renderer:
     def step(self, scene: SceneArrays, state: RenderState):
         self._ensure_accel(scene)
         self.timer.begin()
-        state, rays = self._jit_step(scene, state)
+        state, rays = self._jit_step(scene, state, self._accel_data)
         state.accum.block_until_ready()
         self.timer.end()
         self.total_rays += float(rays)
