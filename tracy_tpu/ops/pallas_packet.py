@@ -57,14 +57,13 @@ class PallasSceneTables(NamedTuple):
 
     @property
     def with_tangent(self) -> bool:
-        return self.attrs16.shape[0] > 9
+        return self.attrs16.shape[0] > 16  # 9 -> padded 16; 18 -> padded 24
 
     @property
     def vmem_bytes(self) -> int:
-        return (
-            self.node_bounds.size * 4 + self.node_meta.size * 4
-            + self.woop.size * 4 + self.attrs.size * 4 + self.attrs16.size * 2
-        )
+        """VMEM-resident bytes: node tables only — the per-triangle tables
+        live in HBM and are DMA'd per leaf chunk."""
+        return self.node_bounds.size * 4 + self.node_meta.size * 4
 
 
 def build_tables(scene, bvh: PackedBVH, with_tangent: bool) -> PallasSceneTables:
@@ -154,6 +153,21 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool) -> PallasSceneTables
                      t1c[:, 2], t2c[:, 0], t2c[:, 1], t2c[:, 2]]
     attrs16 = np.stack([plane(a) for a in a16_list]).astype(jnp.bfloat16)
 
+    def pad8(arr):
+        # DMA slices require the (sublane) plane dimension to be a multiple
+        # of the 8-row tiling.
+        rows = arr.shape[0]
+        pad = (-rows) % 8
+        if pad:
+            arr = np.concatenate(
+                [arr, np.zeros((pad, arr.shape[1]), arr.dtype)], axis=0
+            )
+        return arr
+
+    woop = pad8(woop)
+    attrs = pad8(attrs)
+    attrs16 = pad8(np.asarray(attrs16))
+
     return PallasSceneTables(
         node_bounds=jnp.asarray(np.asarray(bvh.node_bounds, np.float32)),
         node_meta=jnp.asarray(meta.astype(np.int32)),
@@ -163,7 +177,8 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool) -> PallasSceneTables
     )
 
 
-def _kernel(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays_ref, out_ref, stack_ref,
+def _kernel(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays_ref, out_ref,
+            stack_ref, w_s, a_s, a16_s, dma_sems,
             *, stack_depth: int, num_attr: int, num_out: int):
     """One packet: rays_ref [2*3+1, 8, 128] (o, d, active), out planes
     [3 + 1 + num_attr, 8, 128] (t, u, v, mask, attrs...)."""
@@ -259,20 +274,33 @@ def _kernel(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays_ref, out_ref, s
 
             # The leaf's CHUNK is 128-aligned by construction (build_tables
             # bin-packs leaves into chunks; the multiple_of hint asserts it).
+            # The big per-triangle tables live in HBM — DMA this leaf's
+            # [*, 128] chunk into VMEM scratch (keeps VMEM usage independent
+            # of scene size; ~1-2us per leaf visit, dwarfed by the math).
             chunk_base = pl.multiple_of((first // LEAF) * LEAF, LEAF)
             sub_off = first - chunk_base
 
-            def wincol(ref, k):  # [LEAF, 1] sublane window (broadcast vs rays)
-                return ref[k, pl.ds(chunk_base, LEAF)].reshape(LEAF, 1)
+            cp_w = pltpu.make_async_copy(
+                woop_ref.at[:, pl.ds(chunk_base, LEAF)], w_s, dma_sems.at[0])
+            cp_a = pltpu.make_async_copy(
+                attr_ref.at[:, pl.ds(chunk_base, LEAF)], a_s, dma_sems.at[1])
+            cp_a16 = pltpu.make_async_copy(
+                attr16_ref.at[:, pl.ds(chunk_base, LEAF)], a16_s, dma_sems.at[2])
+            cp_w.start()
+            cp_a.start()
+            cp_a16.start()
+            cp_w.wait()
+            cp_a.wait()
+            cp_a16.wait()
 
             def winrow(ref, k):  # [1, LEAF] lane window (for winner gathers)
-                return ref[k, pl.ds(chunk_base, LEAF)].reshape(1, LEAF)
+                return ref[k, :].reshape(1, LEAF)
 
             def winrow16(ref_idx):
-                return attr16_ref[ref_idx, pl.ds(chunk_base, LEAF)].reshape(1, LEAF)
+                return a16_s[ref_idx, :].reshape(1, LEAF)
 
             # Woop coefficient windows as [LEAF, 1] for the pair grid.
-            W = [wincol(woop_ref, k) for k in range(12)]
+            W = [w_s[k, :].reshape(LEAF, 1) for k in range(12)]
 
             lane_ok = (sub_iota >= sub_off) & (sub_iota < sub_off + m_count)
 
@@ -338,7 +366,7 @@ def _kernel(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays_ref, out_ref, s
                 w = jnp.broadcast_to(winrow(ref, k), (8, LEAF))
                 return jnp.take_along_axis(w, gidx, axis=1)
 
-            Wsel = [pick(woop_ref, k) for k in range(12)]
+            Wsel = [pick(w_s, k) for k in range(12)]
             opx_s = Wsel[0] * ox + Wsel[1] * oy + Wsel[2] * oz + Wsel[3]
             dpx_s = Wsel[0] * dx + Wsel[1] * dy + Wsel[2] * dz
             opy_s = Wsel[4] * ox + Wsel[5] * oy + Wsel[6] * oz + Wsel[7]
@@ -348,7 +376,7 @@ def _kernel(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays_ref, out_ref, s
             w_sel = 1.0 - u_sel - v_sel
 
             def asel(k):  # f32 planes: uv0..uv2 (0..5), mat (6)
-                return pick(attr_ref, k)
+                return pick(a_s, k)
 
             def asel16(k):  # bf16 planes: n corners (0..8)[, tangents 9..17]
                 # tpu.dynamic_gather needs value/index bitwidths to match:
@@ -446,30 +474,39 @@ def pallas_intersect(
         num_out=na,
     )
 
-    def kernel_wrap(nb, nm, woop, attrs, attrs16, rays_blk, out_blk, stack):
-        kernel(nb, nm, woop, attrs, attrs16, rays_blk[0], out_blk, stack)
+    def kernel_wrap(nb, nm, woop, attrs, attrs16, rays_blk, out_blk,
+                    stack, w_s, a_s, a16_s, sems):
+        kernel(nb, nm, woop, attrs, attrs16, rays_blk[0], out_blk,
+               stack, w_s, a_s, a16_s, sems)
 
     out = pl.pallas_call(
         kernel_wrap,
         out_shape=jax.ShapeDtypeStruct((k, out_planes, 8, 128), jnp.float32),
         grid=(k,),
         in_specs=[
-            pl.BlockSpec(tables.node_bounds.shape,
-                         lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(tables.node_meta.shape,
-                         lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(tables.woop.shape,
-                         lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(tables.attrs.shape,
-                         lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(tables.attrs16.shape,
-                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            # Tables are grid-invariant: single-buffered (the default
+            # pipeline double-buffering would hold them twice in VMEM).
+            pl.BlockSpec(tables.node_bounds.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM,
+                         pipeline_mode=pl.Buffered(buffer_count=1)),
+            pl.BlockSpec(tables.node_meta.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM,
+                         pipeline_mode=pl.Buffered(buffer_count=1)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((1, 7, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, out_planes, 8, 128), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM((stack_depth,), jnp.int32),
+            pltpu.VMEM((tables.woop.shape[0], LEAF), jnp.float32),
+            pltpu.VMEM((tables.attrs.shape[0], LEAF), jnp.float32),
+            pltpu.VMEM((tables.attrs16.shape[0], LEAF), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
         interpret=interpret,
     )(tables.node_bounds, tables.node_meta, tables.woop, tables.attrs, tables.attrs16, rays)
 

@@ -236,12 +236,12 @@ class Renderer:
                 from tracy_tpu.ops.pallas_packet import build_tables
 
                 cand = build_tables(scene, bvh, with_tangent)
-                if cand.vmem_bytes <= 12 * 1024 * 1024:
+                if cand.vmem_bytes <= 8 * 1024 * 1024:  # node tables (VMEM)
                     tables = cand
                 else:
                     from tracy_tpu.utils.log import log
 
-                    log("scene exceeds Pallas VMEM budget; using XLA packet path")
+                    log("node tables exceed Pallas VMEM budget; using XLA packet path")
 
             if tables is not None:
                 from tracy_tpu.ops.pallas_packet import pallas_intersect
