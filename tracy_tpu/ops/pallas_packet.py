@@ -514,9 +514,9 @@ def pallas_intersect(
             pl.BlockSpec(tables.node_meta.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM,
                          pipeline_mode=pl.Buffered(buffer_count=1)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((pps, 7, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
