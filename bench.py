@@ -59,28 +59,27 @@ def main():
     )
     r = Renderer(cfg)
     state = init_state(cfg)
+    total = frames * frames_per_bench_frame
 
-    # Warmup (compile + first frame); on a device/compile error fall back to
-    # the XLA packet path once.
+    # ONE compiled program (step_many at a fixed frame count): warmup
+    # compiles + runs it, the measurement re-runs it. On a device/compile
+    # error fall back to the XLA packet path once.
     t0 = time.perf_counter()
     try:
-        state, rays = r.step(scene, state)
+        state, rays = r.step_many(scene, state, total)
     except Exception as e:
         print(f"[bench] pallas path failed ({type(e).__name__}); falling back "
               f"to XLA packet path", file=sys.stderr)
         cfg = cfg.replace(use_pallas=False)
         r = Renderer(cfg)
         state = init_state(cfg)
-        state, rays = r.step(scene, state)
+        state, rays = r.step_many(scene, state, total)
     t1 = time.perf_counter()
-    print(f"[bench] warmup (compile+frame): {t1 - t0:.1f}s, rays={int(rays)}",
-          file=sys.stderr)
+    print(f"[bench] warmup (compile + {total} frames): {t1 - t0:.1f}s, "
+          f"rays={int(rays)}", file=sys.stderr)
 
     r.timer.reset()
     r.total_rays = 0.0
-    total = frames * frames_per_bench_frame
-    # All measured frames in one dispatch (the axon tunnel costs ~30ms per
-    # program dispatch, measured).
     state, rays = r.step_many(scene, state, total)
     mrays = r.mrays_per_sec
     print(
