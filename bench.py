@@ -24,6 +24,47 @@ import time
 TRACY_BASELINE_MRAYS = float(os.environ.get("TRACY_BASELINE_MRAYS", "0") or 0)
 
 
+def orchestrate():
+    """Run the bench in a subprocess with a watchdog + retry + fallback.
+
+    The tunneled TPU's compile service intermittently hangs (see NOTES.md);
+    a hung in-process jax call cannot be aborted. The orchestrator retries
+    the full config once after a cooldown, then falls back to a smaller
+    (honestly-labeled) config so the driver still records a measurement.
+    """
+    import subprocess
+
+    env = dict(os.environ, TRACY_BENCH_ORCHESTRATE="0")
+
+    def attempt(extra_env, timeout):
+        e = dict(env, **extra_env)
+        try:
+            res = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__)],
+                env=e, timeout=timeout, capture_output=True, text=True,
+            )
+            sys.stderr.write(res.stderr[-4000:])
+            for line in res.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line)
+                    return True
+        except subprocess.TimeoutExpired:
+            print("[bench] attempt timed out", file=sys.stderr)
+        return False
+
+    if attempt({}, 1500):
+        return
+    print("[bench] retrying after cooldown...", file=sys.stderr)
+    time.sleep(240)
+    if attempt({}, 1500):
+        return
+    print("[bench] falling back to 640x480 config", file=sys.stderr)
+    attempt({
+        "TRACY_BENCH_WIDTH": "640", "TRACY_BENCH_HEIGHT": "480",
+        "TRACY_BENCH_METRIC": "dragon_640x480_4spp_mrays_per_s_per_chip",
+    }, 1200)
+
+
 def main():
     import jax
     import numpy as np
@@ -100,7 +141,9 @@ def main():
 
     vs = mrays / TRACY_BASELINE_MRAYS if TRACY_BASELINE_MRAYS > 0 else 1.0
     print(json.dumps({
-        "metric": "dragon_1080p_4spp_mrays_per_s_per_chip",
+        "metric": os.environ.get(
+            "TRACY_BENCH_METRIC", "dragon_1080p_4spp_mrays_per_s_per_chip"
+        ),
         "value": round(mrays, 3),
         "unit": "MRays/s",
         "vs_baseline": round(vs, 3),
@@ -108,4 +151,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("TRACY_BENCH_ORCHESTRATE", "1") == "1":
+        orchestrate()
+    else:
+        main()
