@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tracy_tpu.core import math as tm
-from tracy_tpu.render.intersect import FLT_MAX, Hit, ray_triangle_grid
+from tracy_tpu.render.intersect import FLT_MAX, Hit
 from tracy_tpu.accel.bvh_build import HostBVH, build_bvh, pad_leaves
 
 INV_CLAMP = 1.0e30

@@ -21,8 +21,6 @@ large scenes; this numpy version is the oracle it is tested against.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import numpy as np
 
 NUM_BINS = 16

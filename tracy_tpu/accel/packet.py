@@ -29,7 +29,6 @@ every visit is dense vector work.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax

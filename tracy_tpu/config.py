@@ -12,7 +12,7 @@ triggers a retrace instead of a rebuild.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 # AOV debug views, mirroring DEBUG_SHOW_* of reference CMakeLists.txt:23-35 /

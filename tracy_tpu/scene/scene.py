@@ -12,7 +12,7 @@ static-shaped jit argument, differentiable end-to-end (gradients flow into
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 
