@@ -19,9 +19,10 @@ import os
 import sys
 import time
 
-# Our own recorded baseline (MRays/s, this benchmark, 1 chip). Updated as
-# rounds land; the first measured value seeds it.
-TRACY_BASELINE_MRAYS = float(os.environ.get("TRACY_BASELINE_MRAYS", "0") or 0)
+# Our own recorded baseline (MRays/s, this benchmark, 1 chip). Seeded with
+# the round-1 measurement (BENCH_r01.json: 0.982); update as rounds land so
+# vs_baseline tracks gain/regression against the previous round.
+TRACY_BASELINE_MRAYS = float(os.environ.get("TRACY_BASELINE_MRAYS", "0.982") or 0)
 
 
 def orchestrate():

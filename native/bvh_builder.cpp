@@ -3,9 +3,9 @@
 // TPU-native analogue of the reference's host-side acceleration-structure
 // build (src/kdtree.h:141-292 BuildTree/FlattenTree — there a duplicating
 // kd-tree, here the binned-SAH BVH its bvh.h:14 stub asked for). Large scenes
-// (the ~870K-triangle Stanford dragon) build in milliseconds here vs seconds
+// (the 100K-triangle Stanford dragon) builds in milliseconds here vs seconds
 // in the numpy reference builder; the output contract is identical and tested
-// for agreement (tests/test_native_bvh.py).
+// for agreement (tests/test_native.py).
 //
 // Exported C ABI (ctypes):
 //   int tracy_build_bvh(const float* tri_min, const float* tri_max, int t,

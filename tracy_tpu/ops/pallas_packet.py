@@ -5,10 +5,12 @@ per-iteration overheads (op dispatch, conditionals, tiny MXU calls). This
 kernel runs the same algorithm on-core:
 
 * grid = one step per packet of 1024 rays, laid out as [8, 128] vreg planes;
-* the ENTIRE scene lives in VMEM: node bounds/meta tables plus slot-ordered
-  triangle geometry and per-corner attributes as 1D component planes
-  (fits for scenes up to roughly ~300K triangles; larger scenes fall back
-  to the XLA packet path);
+* the NODE tables (bounds + meta) live in VMEM; the per-triangle tables
+  (Woop transforms + attributes) live in HBM and are DMA'd into VMEM
+  scratch one 128-slot leaf chunk at a time. The VMEM budget therefore
+  scales with node count only: 48 B/node -> ~170K nodes in the 8 MB
+  budget (~260K triangles at the default leaf size). Larger scenes fall
+  back to the XLA packet path;
 * the shared traversal stack is an SMEM scratch array with a scalar sp in
   the while-loop carry; node fetches are scalar-indexed VMEM reads;
 * a leaf (64 contiguous triangles) is intersected in a [64 tris, 128 rays]
