@@ -98,6 +98,7 @@ def main():
         width=width, height=height, spp=1, max_bounces=5,
         russian_roulette=True, tonemap="srgb", accel="packet",
         ray_chunk=ray_chunk,
+        pallas_packets_per_step=int(os.environ.get("TRACY_BENCH_PPS", 8)),
     )
     r = Renderer(cfg)
     state = init_state(cfg)

@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""5-minute TPU-session correctness gate (run FIRST in every TPU session).
+
+Checks, tiny-to-larger per the wedge-avoidance protocol (CLAUDE.md):
+  1. device sanity: a trivial op completes;
+  2. Pallas packet kernel vs XLA packet intersector allclose on a 64x64
+     cornell primary wave (t, normal, material);
+  3. a 64x64 cornell render step is finite and MRays/s prints.
+
+Exit code 0 = safe to proceed with bigger TPU work.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    dev = jax.devices()[0]
+    print(f"[gate] device: {dev}", flush=True)
+    t0 = time.perf_counter()
+    x = jnp.ones((8, 128)) + 1.0
+    x.block_until_ready()
+    print(f"[gate] trivial op ok ({time.perf_counter()-t0:.2f}s)", flush=True)
+
+    from tracy_tpu.accel.packet import (
+        build_packet_bvh, make_packet_intersector,
+    )
+    from tracy_tpu.config import RenderConfig
+    from tracy_tpu.core.camera import pixel_samples_rows
+    from tracy_tpu.core.rng import RngSpec
+    from tracy_tpu.ops.pallas_packet import build_tables, pallas_intersect
+    from tracy_tpu.render.integrator import JITTER_BOUNCE
+    from tracy_tpu.render.renderer import Renderer, init_state
+    from tracy_tpu.scene.scn_parser import load_scene
+
+    b = load_scene("/root/reference/data/scenes/cornell.scn",
+                   data_root="/root/reference")
+    h = w = 64
+    b.width, b.height = w, h
+    scene = b.build()
+    cfg = RenderConfig(width=w, height=h, spp=1, accel="packet")
+    bvh, _ = build_packet_bvh(scene, leaf_size=cfg.packet_leaf_size)
+
+    rng = RngSpec(cfg.rng, cfg.seed)
+    rows = jnp.arange(h, dtype=jnp.int32)
+    pix = (rows[:, None] * w + jnp.arange(w, dtype=jnp.int32)[None, :]).astype(jnp.uint32)
+    ju = rng.uniform(pix, jnp.uint32(0), JITTER_BOUNCE, 0)
+    jv = rng.uniform(pix, jnp.uint32(0), JITTER_BOUNCE, 1)
+    ss, tt = pixel_samples_rows(w, h, rows, ju, jv)
+    o, d = scene.camera.generate_rays(ss, tt)
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    act = jnp.ones((h * w,), bool)
+
+    xla_isect = make_packet_intersector(scene, bvh, with_tangent=False)
+    hit_x, at_x = jax.jit(xla_isect)(o, d, act)
+    tables = build_tables(scene, bvh, with_tangent=False)
+    interp = os.environ.get("TRACY_GATE_INTERPRET", "0") == "1"  # CPU dry-run
+    t0 = time.perf_counter()
+    hit_p, at_p = jax.jit(
+        lambda oo, dd, aa: pallas_intersect(oo, dd, aa, tables, interpret=interp)
+    )(o, d, act)
+    hit_p.t.block_until_ready()
+    print(f"[gate] pallas intersect compiled+ran ({time.perf_counter()-t0:.1f}s)",
+          flush=True)
+
+    tx, tp = np.asarray(hit_x.t), np.asarray(hit_p.t)
+    mx, mp = np.asarray(hit_x.mask), np.asarray(hit_p.mask)
+    same_mask = (mx == mp).mean()
+    dt = np.abs(np.where(mx & mp, tx - tp, 0.0)).max()
+    dn = np.abs(
+        np.where((mx & mp)[:, None], np.asarray(at_x.normal) - np.asarray(at_p.normal), 0.0)
+    ).max()
+    dm = (np.where(mx & mp, np.asarray(at_x.material) != np.asarray(at_p.material), False)).mean()
+    print(f"[gate] mask agree={same_mask:.4f} |dt|max={dt:.2e} "
+          f"|dnormal|max={dn:.2e} mat mismatch={dm:.4f}", flush=True)
+    ok = same_mask > 0.999 and dt < 1e-3 and dn < 2e-2 and dm < 1e-3
+    if not ok:
+        print("[gate] FAIL: pallas vs xla mismatch", flush=True)
+        return 1
+
+    r = Renderer(cfg)
+    st = init_state(cfg)
+    t0 = time.perf_counter()
+    st, rays = r.step_many(scene, st, 4)
+    el = time.perf_counter() - t0
+    fin = bool(np.isfinite(np.asarray(st.accum)).all())
+    print(f"[gate] 4-frame render: rays={int(rays)} {el:.1f}s finite={fin} "
+          f"({float(rays)/1e6/el:.2f} MRays/s incl compile)", flush=True)
+    if not fin:
+        print("[gate] FAIL: non-finite accum", flush=True)
+        return 1
+    print("[gate] PASS", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,160 @@
+#!/usr/bin/env python3
+"""Round-2 TPU measurement probe: where does the dragon frame time go?
+
+Measures, on the real chip (run AFTER tools/tpu_gate.py passes):
+  A. coherent primary-wave intersect cost vs packets-per-grid-step (pps);
+  B. incoherent wave-2 intersect cost vs pps (the round-1 dominator);
+  C. packet-count scaling at fixed pps (separates fixed-vs-marginal cost);
+  D. a short full-frame step_many timing for the end-to-end picture.
+
+Every timed program runs the intersect REPS times inside one jit program
+(fori_loop with a carried checksum) so the ~30ms tunnel dispatch overhead
+amortizes out of the per-call numbers.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPS = int(os.environ.get("PROBE_REPS", 8))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tracy_tpu.accel.packet import build_packet_bvh, make_packet_intersector
+    from tracy_tpu.config import RenderConfig
+    from tracy_tpu.core.camera import pixel_samples_rows
+    from tracy_tpu.core.rng import RngSpec
+    from tracy_tpu.ops.pallas_packet import build_tables, pallas_intersect
+    from tracy_tpu.render import material as mtl
+    from tracy_tpu.render.integrator import (
+        DRAW_ROULETTE, DRAW_SPECULAR, DRAW_SPHERE_PHI, DRAW_SPHERE_Z,
+        JITTER_BOUNCE,
+    )
+    from tracy_tpu.render.renderer import Renderer, init_state
+    from tracy_tpu.scene.scn_parser import load_scene
+
+    print(f"[probe] device: {jax.devices()[0]}", flush=True)
+
+    w, h = 640, 480
+    b = load_scene("/root/reference/data/scenes/dragon.scn",
+                   data_root="/root/reference")
+    b.width, b.height = w, h
+    scene = b.build()
+    cfg = RenderConfig(width=w, height=h, spp=1, accel="packet")
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    tables = build_tables(scene, bvh, with_tangent=False)
+    print(f"[probe] dragon {b.num_triangles} tris, "
+          f"node vmem {tables.vmem_bytes/1e6:.1f}MB", flush=True)
+
+    # ---- primary rays in 32x32 tile order --------------------------------
+    rng = RngSpec(cfg.rng, cfg.seed)
+    rows = jnp.arange(h, dtype=jnp.int32)
+    pix = (rows[:, None] * w + jnp.arange(w, dtype=jnp.int32)[None, :]).astype(jnp.uint32)
+    ju = rng.uniform(pix, jnp.uint32(0), JITTER_BOUNCE, 0)
+    jv = rng.uniform(pix, jnp.uint32(0), JITTER_BOUNCE, 1)
+    ss, tt = pixel_samples_rows(w, h, rows, ju, jv)
+    o_i, d_i = scene.camera.generate_rays(ss, tt)
+
+    def tile_fold(x):
+        extra = x.shape[2:]
+        x = x.reshape((h // 32, 32, w // 32, 32) + extra)
+        x = jnp.swapaxes(x, 1, 2)
+        return x.reshape((h * w,) + extra)
+
+    o1 = tile_fold(o_i)
+    d1 = tile_fold(d_i)
+    pixf = tile_fold(pix)
+    act1 = jnp.ones((h * w,), bool)
+    npk = (h * w) // 1024
+    print(f"[probe] wave: {npk} packets", flush=True)
+
+    def timed_intersect(o, d, act, pps, label, reps=REPS):
+        def prog(o, d, act):
+            def body(i, carry):
+                s, _ = carry
+                oo = o.at[0, 0].add(jnp.float32(i) * 1e-6)  # defeat CSE
+                hit, at = pallas_intersect(oo, d, act, tables,
+                                           packets_per_step=pps)
+                return s + jnp.sum(hit.t
+                                   * 0.0) + jnp.sum(jnp.where(hit.mask, 1.0, 0.0)), hit.t[0]
+            return jax.lax.fori_loop(0, reps, body, (jnp.float32(0), jnp.float32(0)))
+
+        f = jax.jit(prog)
+        t0 = time.perf_counter()
+        r = f(o, d, act)
+        r[0].block_until_ready()
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        r = f(o, d, act)
+        r[0].block_until_ready()
+        el = (time.perf_counter() - t0) / reps
+        per_packet = el / (len(o) // 1024)
+        print(f"[probe] {label} pps={pps:3d}: {el*1e3:8.2f} ms/wave  "
+              f"{per_packet*1e6:7.1f} us/packet  (compile {compile_s:.0f}s)",
+              flush=True)
+        return el
+
+    print("[probe] === A: coherent primary wave, pps sweep ===", flush=True)
+    for pps in (4, 8, 16, 32):
+        timed_intersect(o1, d1, act1, pps, "primary")
+
+    # ---- build wave-2 rays on-device (one shot) --------------------------
+    print("[probe] building wave-2 rays...", flush=True)
+    isect_x = make_packet_intersector(scene, bvh, with_tangent=False)
+
+    def wave2(o, d, act):
+        hit, attrs = pallas_intersect(o, d, act, tables)
+        params = mtl.gather_surface_params(scene, attrs.material, attrs.uv,
+                                           attrs.normal, attrs.tangent)
+        r1 = rng.uniform(pixf, jnp.uint32(0), 0, DRAW_SPHERE_Z)
+        r2 = rng.uniform(pixf, jnp.uint32(0), 0, DRAW_SPHERE_PHI)
+        r3 = rng.uniform(pixf, jnp.uint32(0), 0, DRAW_SPECULAR)
+        point = o + hit.t[:, None] * d
+        res = mtl.scatter(d, point, params, r1, r2, r3)
+        p = 1e-8 + jnp.max(res.attenuation, axis=-1)
+        rr = rng.uniform(pixf, jnp.uint32(0), 0, DRAW_ROULETTE)
+        alive = hit.mask & (rr <= p)
+        return res.origin, res.direction, alive
+
+    o2, d2, act2 = jax.jit(wave2)(o1, d1, act1)
+    o2.block_until_ready()
+    live = float(jnp.mean(act2.astype(jnp.float32)))
+    print(f"[probe] wave2 live fraction: {live:.3f}", flush=True)
+
+    print("[probe] === B: incoherent wave 2, pps sweep ===", flush=True)
+    for pps in (4, 8, 16, 32):
+        timed_intersect(o2, d2, act2, pps, "wave2  ", reps=max(2, REPS // 2))
+
+    print("[probe] === C: packet-count scaling (pps=8) ===", flush=True)
+    for frac in (4, 2, 1):
+        n = (h * w) // frac
+        timed_intersect(o2[:n], d2[:n], act2[:n], 8, f"wave2/{frac}",
+                        reps=max(2, REPS // 2))
+
+    print("[probe] === D: full-frame step_many (pps=8 vs best) ===", flush=True)
+    for pps in (8, 32):
+        cfg2 = cfg.replace(pallas_packets_per_step=pps)
+        r = Renderer(cfg2)
+        st = init_state(cfg2)
+        t0 = time.perf_counter()
+        st, rays = r.step_many(scene, st, 4)
+        warm = time.perf_counter() - t0
+        r.timer.reset(); r.total_rays = 0.0
+        st, rays = r.step_many(scene, st, 4)
+        print(f"[probe] frame pps={pps}: {r.timer.total/4*1e3:.0f} ms/frame "
+              f"{r.mrays_per_sec:.2f} MRays/s (warm {warm:.0f}s)", flush=True)
+
+    print("[probe] DONE", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

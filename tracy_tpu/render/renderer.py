@@ -249,11 +249,13 @@ class Renderer:
                 from tracy_tpu.ops.pallas_packet import pallas_intersect
 
                 depth = self.cfg.traversal_stack_depth
+                pps = self.cfg.pallas_packets_per_step
                 self._accel_data = tables
 
                 def bind(sc, acc):
                     return lambda o, d, act: pallas_intersect(
-                        o, d, act, acc, stack_depth=depth
+                        o, d, act, acc, stack_depth=depth,
+                        packets_per_step=pps,
                     )
 
                 self._bind = bind
