@@ -166,3 +166,30 @@ def test_inverse_rendering_recovers_albedo(furnace_small):
     recovered = np.asarray(params.albedo[1])
     np.testing.assert_allclose(recovered, 0.6, atol=0.05)
     assert losses[-1] < losses[0] * 0.01
+
+
+def test_pallas_forward_gradients_match_fd(furnace_small):
+    """Material gradients through the Pallas kernel forward (zero-VJP
+    wrapper, interpret mode on CPU): the kernel's discrete outputs carry all
+    material-gradient paths, so autodiff == FD even though the kernel itself
+    has no VJP (round-1 gap #3)."""
+    from tracy_tpu.diff.gradients import make_training_intersector
+
+    cfg = RenderConfig(width=24, height=18, spp=1, max_bounces=3,
+                       tonemap="none", russian_roulette=False, accel="packet")
+    isect = make_training_intersector(furnace_small, cfg,
+                                      needs_geometry_grads=False,
+                                      interpret=True)
+    params = extract_params(furnace_small)
+
+    def f(albedo):
+        s = apply_params(furnace_small, params._replace(albedo=albedo))
+        radiance, _ = sample_radiance(s, cfg, jnp.asarray(0, jnp.int32), isect)
+        return jnp.mean(radiance)
+
+    g = jax.grad(f)(params.albedo)
+    h = 1e-3
+    e = jnp.zeros_like(params.albedo).at[1, 0].set(1.0)
+    fd = (f(params.albedo + h * e) - f(params.albedo - h * e)) / (2 * h)
+    np.testing.assert_allclose(float(g[1, 0]), float(fd), rtol=2e-2)
+    assert float(g[1, 0]) > 0

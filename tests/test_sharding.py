@@ -124,3 +124,31 @@ def test_sharded_gradients_match_single_chip(scene):
 
     for a, b in zip(jax.tree_util.tree_leaves(g_single), jax.tree_util.tree_leaves(g_sharded)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_packet_render_bit_identical():
+    """VERDICT r1 item: exercise the FLAGSHIP packet intersector (packed BVH
+    + tri tables threaded through shard_map) on the virtual mesh, and
+    require bit-identity with the single-chip packet render."""
+    from tracy_tpu.accel.packet import build_packet_bvh, make_packet_intersector
+
+    sc = default_scene(128, 128).build()
+    cfg = RenderConfig(width=128, height=128, spp=2, max_bounces=3,
+                       tonemap="none", accel="packet")
+    bvh, _ = build_packet_bvh(sc, leaf_size=cfg.packet_leaf_size)
+    isect = make_packet_intersector(sc, bvh, with_tangent=False)
+
+    # single chip
+    r = Renderer(cfg, intersector_factory=lambda s: isect)
+    st_single = init_state(cfg)
+    st_single, rays_single = r.step(sc, st_single)
+
+    mesh = make_render_mesh(4, 2)
+    sc_rep = replicate_scene(sc, mesh)
+    step = make_sharded_render_step(cfg, mesh, intersect_fn=isect)
+    st_shard, rays_shard = step(sc_rep, init_state(cfg))
+
+    np.testing.assert_array_equal(
+        np.asarray(st_single.accum), np.asarray(st_shard.accum)
+    )
+    assert int(rays_single) == int(rays_shard)

@@ -21,6 +21,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPS = int(os.environ.get("PROBE_REPS", 8))
+LEAF = int(os.environ.get("PROBE_LEAF", 64))
+PPS_LIST = tuple(int(x) for x in os.environ.get("PROBE_PPS", "4,8,16,32").split(","))
+SKIP_C = os.environ.get("PROBE_SKIP_C", "0") == "1"
 
 
 def main() -> int:
@@ -49,9 +52,9 @@ def main() -> int:
     b.width, b.height = w, h
     scene = b.build()
     cfg = RenderConfig(width=w, height=h, spp=1, accel="packet")
-    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    bvh, _ = build_packet_bvh(scene, leaf_size=LEAF)
     tables = build_tables(scene, bvh, with_tangent=False)
-    print(f"[probe] dragon {b.num_triangles} tris, "
+    print(f"[probe] dragon {b.num_triangles} tris, leaf_size={LEAF}, "
           f"node vmem {tables.vmem_bytes/1e6:.1f}MB", flush=True)
 
     # ---- primary rays in 32x32 tile order --------------------------------
@@ -103,7 +106,7 @@ def main() -> int:
         return el
 
     print("[probe] === A: coherent primary wave, pps sweep ===", flush=True)
-    for pps in (4, 8, 16, 32):
+    for pps in PPS_LIST:
         timed_intersect(o1, d1, act1, pps, "primary")
 
     # ---- build wave-2 rays on-device (one shot) --------------------------
@@ -130,14 +133,46 @@ def main() -> int:
     print(f"[probe] wave2 live fraction: {live:.3f}", flush=True)
 
     print("[probe] === B: incoherent wave 2, pps sweep ===", flush=True)
-    for pps in (4, 8, 16, 32):
+    for pps in PPS_LIST:
         timed_intersect(o2, d2, act2, pps, "wave2  ", reps=max(2, REPS // 2))
 
     print("[probe] === C: packet-count scaling (pps=8) ===", flush=True)
-    for frac in (4, 2, 1):
+    for frac in () if SKIP_C else (4, 2, 1):
         n = (h * w) // frac
         timed_intersect(o2[:n], d2[:n], act2[:n], 8, f"wave2/{frac}",
                         reps=max(2, REPS // 2))
+
+    print("[probe] === D0: frame minus intersection (stub intersector) ===",
+          flush=True)
+    from tracy_tpu.accel.packet import PacketAttrs
+    from tracy_tpu.render.intersect import FLT_MAX, Hit
+    from tracy_tpu.render.renderer import render_step, init_state as _init
+
+    def stub_isect(o, d, act):
+        n = o.shape[0]
+        hit = Hit(t=jnp.full((n,), FLT_MAX), tri=jnp.zeros((n,), jnp.int32),
+                  uv=jnp.zeros((n, 2)), mask=jnp.zeros((n,), bool))
+        at = PacketAttrs(normal=jnp.zeros((n, 3)), tangent=jnp.zeros((n, 3)),
+                         uv=jnp.zeros((n, 2)),
+                         material=jnp.zeros((n,), jnp.int32))
+        return hit, at
+
+    def frame_prog(st):
+        def body(_, carry):
+            s2, r = render_step(scene, carry[0], cfg, stub_isect)
+            return s2, carry[1] + r
+        return jax.lax.fori_loop(0, 4, body, (st, jnp.zeros((), jnp.int32)))
+
+    fj = jax.jit(frame_prog)
+    st0 = _init(cfg)
+    t0 = time.perf_counter()
+    r = fj(st0); r[0].accum.block_until_ready()
+    print(f"[probe] stub-frame compile+run {time.perf_counter()-t0:.0f}s", flush=True)
+    st0 = _init(cfg)
+    t0 = time.perf_counter()
+    r = fj(st0); r[0].accum.block_until_ready()
+    print(f"[probe] frame-minus-intersect: {(time.perf_counter()-t0)/4*1e3:.1f} ms/frame",
+          flush=True)
 
     print("[probe] === D: full-frame step_many (pps=8 vs best) ===", flush=True)
     for pps in (8, 32):

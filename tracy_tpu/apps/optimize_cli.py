@@ -42,6 +42,10 @@ def main(argv=None):
     p.add_argument("-selftest", default=None,
                    help="perturb+recover this param instead of using -target")
     p.add_argument("-cpu", action="store_true")
+    p.add_argument("-accel", default="auto", choices=("auto", "none"),
+                   help="auto = packet BVH (Pallas kernel on TPU for "
+                        "material/texture params, XLA packet for vertex "
+                        "gradients); none = brute force")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -71,11 +75,21 @@ def main(argv=None):
         builder = default_scene(args.width, args.height)
     scene = builder.build()
 
-    # Differentiation uses the XLA intersectors (the Pallas kernel has no
-    # VJP); brute force keeps compiles fast at demo sizes.
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
-                       max_bounces=args.bounces, tonemap="none", accel="none",
+                       max_bounces=args.bounces, tonemap="none",
+                       accel="none" if args.accel == "none" else "packet",
                        russian_roulette=False)
+
+    param_names = (args.selftest or args.params).split(",")
+    intersect_fn = None
+    if args.accel == "auto":
+        from tracy_tpu.diff import make_training_intersector
+
+        # vertex gradients need the traced-geometry XLA path; everything
+        # else rides the Pallas kernel forward (zero-VJP wrapper).
+        intersect_fn = make_training_intersector(
+            scene, cfg, needs_geometry_grads="vertex_pos" in param_names,
+        )
 
     frame = jnp.asarray(7, jnp.int32)
     base = extract_params(scene)
@@ -85,7 +99,7 @@ def main(argv=None):
         # Only OBSERVABLE rows are perturbed/scored: materials that some
         # triangle references (sky slot 0 contributes via emissive only,
         # and unused table rows can never be recovered).
-        target, _ = sample_radiance(scene, cfg, frame)
+        target, _ = sample_radiance(scene, cfg, frame, intersect_fn)
         rng = np.random.default_rng(0)
         field = getattr(base, args.selftest)
         used = np.zeros(scene.materials.albedo.shape[0], bool)
@@ -120,7 +134,8 @@ def main(argv=None):
         mask = mask._replace(**{f: jnp.ones_like(getattr(base, f), bool)})
 
     step, opt_state = make_train_step(
-        scene, cfg, optax.adam(args.lr), trainable_mask=mask
+        scene, cfg, optax.adam(args.lr), intersect_fn=intersect_fn,
+        trainable_mask=mask,
     )
 
     t0 = time.perf_counter()
@@ -130,7 +145,7 @@ def main(argv=None):
             log(f"step {i}: loss {float(loss):.6f}")
     log(f"optimized {args.steps} steps in {time.perf_counter() - t0:.1f}s")
 
-    recovered, _ = sample_radiance(apply_params(scene, params), cfg, frame)
+    recovered, _ = sample_radiance(apply_params(scene, params), cfg, frame, intersect_fn)
     save_image(np.asarray(film.to_u8(film.tonemap(recovered, cfg.replace(tonemap='srgb')))), args.out)
     log(f"saved {args.out}")
 

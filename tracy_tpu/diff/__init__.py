@@ -4,6 +4,7 @@ from tracy_tpu.diff.gradients import (
     extract_params,
     render_loss,
     make_train_step,
+    make_training_intersector,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "extract_params",
     "render_loss",
     "make_train_step",
+    "make_training_intersector",
 ]

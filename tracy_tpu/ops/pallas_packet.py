@@ -13,16 +13,21 @@ kernel runs the same algorithm on-core:
   back to the XLA packet path;
 * the shared traversal stack is an SMEM scratch array with a scalar sp in
   the while-loop carry; node fetches are scalar-indexed VMEM reads;
-* a leaf (64 contiguous triangles) is intersected in a [64 tris, 128 rays]
-  vreg tiling, one ray-row at a time: Möller–Trumbore, min-reduce over the
-  sublane (triangle) axis, first-match one-hot, and attribute interpolation
-  as masked multiply-sums — everything stays in vector registers;
+* a leaf visit intersects its whole 128-slot chunk in a [128 tris,
+  128 rays] vreg tiling, one ray-row at a time: Möller–Trumbore, min-reduce
+  over the sublane (triangle) axis, first-match one-hot, and attribute
+  interpolation as masked multiply-sums — everything stays in vector
+  registers. Per-visit cost is count-independent, so the BVH is built with
+  WIDE leaves (config.pallas_leaf_size=128: fewer visits, same visit cost);
 * outputs: t, barycentric u/v, hit mask, and interpolated normal/uv/
   material (+tangent when normal maps are present), as [packets, C, 8, 128]
   planes.
 
-NOT differentiable (no custom VJP): inverse-rendering paths use the XLA
-intersectors; forward rendering uses this kernel. Interpret mode works on
+The kernel has no VJP of its own, but `nondiff_intersector` wraps it in a
+zero-gradient custom_vjp that is exact for material/texture/emissive
+inverse rendering (those gradients flow through the kernel's discrete
+outputs); geometry optimization uses the XLA intersectors
+(diff/gradients.make_training_intersector picks). Interpret mode works on
 CPU for correctness tests.
 """
 
@@ -180,7 +185,7 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool) -> PallasSceneTables
 
 
 def _kernel(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays_ref, out_ref,
-            stack_ref, w_s, a_s, a16_s, dma_sems,
+            stack_ref, w_s, a_s, a16_s, acc_ref, dma_sems,
             *, stack_depth: int, num_attr: int, num_out: int,
             packets_per_step: int):
     """One grid step = `packets_per_step` packets, looped with fori so the
@@ -191,15 +196,15 @@ def _kernel(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays_ref, out_ref,
         ray_block = rays_ref[pkt]  # [7, 8, 128]
         _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref,
                      ray_block, out_ref, pkt, stack_ref, w_s, a_s, a16_s,
-                     dma_sems, stack_depth=stack_depth, num_attr=num_attr,
-                     num_out=num_out)
+                     acc_ref, dma_sems, stack_depth=stack_depth,
+                     num_attr=num_attr, num_out=num_out)
         return 0
 
     jax.lax.fori_loop(0, packets_per_step, one_packet, 0)
 
 
 def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays, out_ref,
-                 pkt, stack_ref, w_s, a_s, a16_s, dma_sems,
+                 pkt, stack_ref, w_s, a_s, a16_s, acc_ref, dma_sems,
                  *, stack_depth: int, num_attr: int, num_out: int):
     ox = rays[0]
     oy = rays[1]
@@ -219,13 +224,18 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays, out_ref,
 
     stack_ref[0] = 0
 
-    # Carry: sp, best t, u, v, and attribute planes.
+    # Slim while-loop carry: (sp, best_t) ONLY. The u/v/attribute planes are
+    # accumulated in a VMEM scratch (acc_ref, STATIC plane indices — dynamic
+    # value-level loads at a traced index are a Mosaic lowering gap) by each
+    # leaf visit instead of being threaded through every while/cond
+    # iteration, and copied to the output block once at the end.
+    zero = jnp.zeros((8, 128), jnp.float32)
+    for k in range(2 + num_out):
+        acc_ref[k] = zero
     init = (
         jnp.int32(1),
         jnp.where(active, jnp.float32(BIG), jnp.float32(-BIG)),  # dead lanes hit nothing
-        jnp.zeros((8, 128), jnp.float32),  # u
-        jnp.zeros((8, 128), jnp.float32),  # v
-    ) + tuple(jnp.zeros((8, 128), jnp.float32) for _ in range(num_out))
+    )
 
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (LEAF, 128), 0)
 
@@ -262,8 +272,7 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays, out_ref,
             hit = (tmax >= jnp.maximum(jnp.float32(EPS), tmin)) & (tmin < best_t)
             return jnp.min(jnp.where(hit, tmin, jnp.float32(BIG)))
 
-        def inner_case(c):
-            sp_in = c[0]
+        def inner_case(sp_in, bt):
             left, right = m_first, m_right
             lmin = slab(left)
             rmin = slab(right)
@@ -285,10 +294,9 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays, out_ref,
             def _():
                 stack_ref[idx1] = near
             sp2 = sp1 + near_any.astype(jnp.int32)
-            return (sp2,) + c[1:]
+            return (sp2, bt)
 
-        def leaf_case(c):
-            sp_in, bt = c[0], c[1]
+        def leaf_case(sp_in, bt):
             first = m_first
 
             # The leaf's CHUNK is 128-aligned by construction (build_tables
@@ -328,7 +336,7 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays, out_ref,
             # finds each ray's candidate (t, tri index); the winner readback
             # (gathers + attribute interpolation) happens ONCE per leaf on
             # [8, 128] planes afterwards.
-            best_t_plane = c[1]
+            best_t_plane = bt
 
             def row_body(r, carry):
                 cand_t, cand_idx = carry
@@ -405,14 +413,13 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays, out_ref,
                 )
                 return jnp.take_along_axis(w, gidx, axis=1)
 
-            new = list(c)
+            def put(idx, val):
+                # accumulate winner values in the static-index VMEM scratch
+                # (keeps them out of the while carry).
+                acc_ref[idx] = jnp.where(imp, val, acc_ref[idx])
 
-            def put(plane, val):
-                return jnp.where(imp, val, plane)
-
-            new[1] = put(new[1], cand_t)
-            new[2] = put(new[2], u_sel)
-            new[3] = put(new[3], v_sel)
+            put(0, u_sel)
+            put(1, v_sel)
 
             # Attr planes are corner-major: n0.xyz n1.xyz n2.xyz,
             # uv0 uv1 uv2, mat[, t0.xyz t1.xyz t2.xyz].
@@ -436,20 +443,17 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays, out_ref,
                     )
 
             for k, val in enumerate(out_vals):
-                new[4 + k] = put(new[4 + k], val)
+                put(2 + k, val)
 
-            return (sp_in,) + tuple(new[1:])
+            return (sp_in, jnp.where(imp, cand_t, bt))
 
-        return jax.lax.cond(is_leaf, leaf_case, inner_case,
-                            (sp,) + tuple(c[1:]))
+        return jax.lax.cond(is_leaf, leaf_case, inner_case, sp, c[1])
 
     out = jax.lax.while_loop(cond, body, init)
 
     out_ref[pkt, 0] = out[1]  # t (BIG/-BIG = miss)
-    out_ref[pkt, 1] = out[2]  # u
-    out_ref[pkt, 2] = out[3]  # v
-    for k in range(num_out):
-        out_ref[pkt, 3 + k] = out[4 + k]
+    for k in range(2 + num_out):
+        out_ref[pkt, 1 + k] = acc_ref[k]
 
 
 def _num_out_attrs(with_tangent: bool) -> int:
@@ -499,9 +503,9 @@ def pallas_intersect(
     )
 
     def kernel_wrap(nb, nm, woop, attrs, attrs16, rays_blk, out_blk,
-                    stack, w_s, a_s, a16_s, sems):
+                    stack, w_s, a_s, a16_s, acc, sems):
         kernel(nb, nm, woop, attrs, attrs16, rays_blk, out_blk,
-               stack, w_s, a_s, a16_s, sems)
+               stack, w_s, a_s, a16_s, acc, sems)
 
     out = pl.pallas_call(
         kernel_wrap,
@@ -529,6 +533,7 @@ def pallas_intersect(
             pltpu.VMEM((tables.woop.shape[0], LEAF), jnp.float32),
             pltpu.VMEM((tables.attrs.shape[0], LEAF), jnp.float32),
             pltpu.VMEM((tables.attrs16.shape[0], LEAF), jnp.bfloat16),
+            pltpu.VMEM((2 + na, 8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
@@ -555,6 +560,44 @@ def pallas_intersect(
         material=jnp.round(flat(8)).astype(jnp.int32),
     )
     return hit, attrs
+
+
+def nondiff_intersector(intersect):
+    """Make an IntersectFn differentiation-safe with a zero-gradient VJP.
+
+    Why this is CORRECT for material/texture/emissive inverse rendering (the
+    BASELINE north-star config): every gradient those optimizations need
+    flows through the intersector's DISCRETE outputs — the material id
+    selects table rows (one-hot contraction, differentiable w.r.t. the
+    table), the hit uv selects texels (nearest sampling, differentiable
+    w.r.t. texel VALUES and zero a.e. w.r.t. uv), and the shading normal
+    only steers detached sampling decisions. The only gradients a zero VJP
+    drops are geometry gradients (vertex positions through t/uv/normal) —
+    optimizing geometry must use the XLA packet intersector with
+    differentiable_geometry=True (diff/gradients.py).
+
+    This lets the Pallas kernel (which has no VJP of its own) run the
+    FORWARD pass of inverse rendering at full speed.
+    """
+    import numpy as np
+
+    @jax.custom_vjp
+    def f(origin, direction, active):
+        return intersect(origin, direction, active)
+
+    def fwd(origin, direction, active):
+        return f(origin, direction, active), (
+            origin.shape, origin.dtype, active.shape
+        )
+
+    def bwd(res, _ct):
+        oshape, odtype, ashape = res
+        zero = jnp.zeros(oshape, odtype)
+        zero_act = np.zeros(ashape, jax.dtypes.float0)
+        return (zero, zero, zero_act)
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,

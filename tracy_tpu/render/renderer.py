@@ -81,7 +81,7 @@ def sample_radiance_rows(
     # order. Tiles are 32x32 = one 1024-ray packet.
     tile = 32
     use_tiles = (
-        cfg.accel == "packet" and num_rows % tile == 0 and w % tile == 0
+        cfg.accel in ("packet", "tlas") and num_rows % tile == 0 and w % tile == 0
     )
 
     def tile_fold(x):  # [R, W, ...] -> [R*W, ...] in tile-major order
@@ -214,8 +214,39 @@ class Renderer:
         """
         if self._bind is not None:
             return
-        if self.cfg.accel == "packet":
-            import numpy as np
+        if self.cfg.accel == "tlas":
+            from tracy_tpu.accel.packet import pack_bvh
+            from tracy_tpu.accel.tlas import build_two_level
+            from tracy_tpu.scene.scene import TEX_NORMAL
+
+            two = build_two_level(scene, leaf_size=self.cfg.packet_leaf_size,
+                                  max_depth=max(self.cfg.traversal_stack_depth - 8, 8))
+            self._two_level = two
+            packed = pack_bvh(two.stitched, self.cfg.packet_leaf_size)
+            with_tangent = bool(
+                (np.asarray(scene.materials.tex_index)[:, TEX_NORMAL] >= 0).any()
+            )
+            from tracy_tpu.accel.packet import (
+                intersect_packet, prepare_packet_tri_data_host,
+            )
+
+            leaf = self.cfg.packet_leaf_size
+            depth = self.cfg.traversal_stack_depth
+            psize = self.cfg.packet_size
+            tri = prepare_packet_tri_data_host(scene, packed, with_tangent)
+            self._accel_data = (packed, tri)
+
+            def bind(sc, acc):
+                bvh_a, tri_a = acc
+                return lambda o, d, act: intersect_packet(
+                    o, d, tri_a, bvh_a, active=act, leaf_size=leaf,
+                    stack_depth=depth, packet_size=psize,
+                    with_tangent=with_tangent,
+                )
+
+            self._bind = bind
+        elif self.cfg.accel == "packet":
+
 
             from tracy_tpu.accel.packet import (
                 build_packet_bvh,
@@ -224,19 +255,22 @@ class Renderer:
             )
             from tracy_tpu.scene.scene import TEX_NORMAL
 
-            bvh, host = build_packet_bvh(
-                scene, leaf_size=self.cfg.packet_leaf_size,
-                max_depth=max(self.cfg.traversal_stack_depth - 4, 8),
-            )
             # Tangent interpolation only matters when some material has a
             # normal map (static decision from the concrete scene).
             with_tangent = bool(
                 (np.asarray(scene.materials.tex_index)[:, TEX_NORMAL] >= 0).any()
             )
+            bvh = None
             tables = None
             if self.cfg.use_pallas and jax.default_backend() not in ("cpu",):
                 from tracy_tpu.ops.pallas_packet import build_tables
 
+                # The kernel tests a whole 128-slot chunk per leaf visit, so
+                # build with wide leaves (see config.pallas_leaf_size).
+                bvh, host = build_packet_bvh(
+                    scene, leaf_size=self.cfg.pallas_leaf_size,
+                    max_depth=max(self.cfg.traversal_stack_depth - 4, 8),
+                )
                 cand = build_tables(scene, bvh, with_tangent)
                 if cand.vmem_bytes <= 8 * 1024 * 1024:  # node tables (VMEM)
                     tables = cand
@@ -244,18 +278,29 @@ class Renderer:
                     from tracy_tpu.utils.log import log
 
                     log("node tables exceed Pallas VMEM budget; using XLA packet path")
+            if tables is None:
+                # XLA packet path: narrower leaves (its leaf test cost
+                # scales with leaf_size, unlike the kernel's).
+                bvh, host = build_packet_bvh(
+                    scene, leaf_size=self.cfg.packet_leaf_size,
+                    max_depth=max(self.cfg.traversal_stack_depth - 4, 8),
+                )
 
             if tables is not None:
-                from tracy_tpu.ops.pallas_packet import pallas_intersect
+                from tracy_tpu.ops.pallas_packet import (
+                    nondiff_intersector, pallas_intersect,
+                )
 
                 depth = self.cfg.traversal_stack_depth
                 pps = self.cfg.pallas_packets_per_step
                 self._accel_data = tables
 
                 def bind(sc, acc):
-                    return lambda o, d, act: pallas_intersect(
-                        o, d, act, acc, stack_depth=depth,
-                        packets_per_step=pps,
+                    return nondiff_intersector(
+                        lambda o, d, act: pallas_intersect(
+                            o, d, act, acc, stack_depth=depth,
+                            packets_per_step=pps,
+                        )
                     )
 
                 self._bind = bind

@@ -111,6 +111,11 @@ class SceneArrays:
     width: int = 640
     height: int = 480
     name: str = ""
+    # Per-object contiguous ranges into the global soup: ((start, count),
+    # ...) over triangles and vertices — the object structure the two-level
+    # TLAS/BLAS build needs (reference keeps vector<Mesh>, scene.h:67).
+    object_tri_ranges: tuple = ()
+    object_vert_ranges: tuple = ()
 
     def tree_flatten(self):
         children = (
@@ -125,12 +130,14 @@ class SceneArrays:
             self.tex_table,
             self.camera,
         )
-        aux = (self.width, self.height, self.name)
+        aux = (self.width, self.height, self.name,
+               self.object_tri_ranges, self.object_vert_ranges)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, width=aux[0], height=aux[1], name=aux[2])
+        return cls(*children, width=aux[0], height=aux[1], name=aux[2],
+                   object_tri_ranges=aux[3], object_vert_ranges=aux[4])
 
     @property
     def num_triangles(self) -> int:
@@ -244,9 +251,11 @@ class SceneBuilder:
     # -- build ---------------------------------------------------------------
 
     def build(self, dtype=jnp.float32) -> SceneArrays:
+        tri_ranges, vert_ranges = [], []
         if self.meshes:
             pos, nrm, uv, tan, idx, mat = [], [], [], [], [], []
             voffset = 0
+            toffset = 0
             for m in self.meshes:
                 if m.tangents is None:
                     m.compute_tangents()
@@ -257,7 +266,10 @@ class SceneBuilder:
                 idx.append(m.indices.astype(np.int64) + voffset)
                 mid = m.material_id if m.material_id >= 0 else 0
                 mat.append(np.full((m.num_triangles,), mid, dtype=np.int32))
+                tri_ranges.append((toffset, m.num_triangles))
+                vert_ranges.append((voffset, m.num_vertices))
                 voffset += m.num_vertices
+                toffset += m.num_triangles
             pos = np.concatenate(pos)
             nrm = np.concatenate(nrm)
             uv = np.concatenate(uv)
@@ -314,4 +326,6 @@ class SceneBuilder:
             width=self.width,
             height=self.height,
             name=self.name,
+            object_tri_ranges=tuple(tri_ranges),
+            object_vert_ranges=tuple(vert_ranges),
         )

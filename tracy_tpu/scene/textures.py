@@ -28,7 +28,13 @@ def load_image_rgba(path: str) -> Optional[np.ndarray]:
     (scene.cpp:28-45). Returns None if the file can't be read.
     """
     try:
-        if path.lower().endswith((".hdr", ".exr")):
+        if path.lower().endswith(".hdr"):
+            # own Radiance RGBE decoder: imageio (without the freeimage
+            # plugin) silently decodes .hdr as tonemapped uint8, which
+            # loses the float radiance entirely (sun texels 20.0 -> 255).
+            img = _load_radiance_hdr(path)
+            return np.concatenate([img, np.ones_like(img[..., :1])], axis=-1)
+        if path.lower().endswith(".exr"):
             import imageio.v2 as imageio
 
             img = np.asarray(imageio.imread(path)).astype(np.float32)
@@ -45,6 +51,56 @@ def load_image_rgba(path: str) -> Optional[np.ndarray]:
     except Exception as e:  # missing file, bad format
         log(f"texture load failed for '{path}': {e}")
         return None
+
+
+def _load_radiance_hdr(path: str) -> np.ndarray:
+    """Radiance RGBE (.hdr) decoder -> float32 RGB [H, W, 3].
+
+    Matches stb_image's semantics (the reference loads sky probes through
+    stbi_loadf, scene.cpp:28-33): component = mantissa * 2^(exponent-136),
+    supports both flat scanlines and new-style per-channel RLE.
+    """
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if not data.startswith(b"#?"):
+        raise ValueError("not a Radiance file")
+    # header: lines until the blank line, then the resolution line.
+    pos = data.index(b"\n\n") + 2
+    eol = data.index(b"\n", pos)
+    res = data[pos:eol].split()
+    if len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
+        raise ValueError(f"unsupported resolution line {res!r}")
+    h, w = int(res[1]), int(res[3])
+    body = np.frombuffer(data, np.uint8, offset=eol + 1)
+
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    if w < 8 or w >= 32768 or not (
+        len(body) >= 4 and body[0] == 2 and body[1] == 2
+        and (int(body[2]) << 8 | int(body[3])) == w
+    ):
+        rgbe = body[: h * w * 4].reshape(h, w, 4)
+    else:
+        off = 0
+        for y in range(h):
+            if not (body[off] == 2 and body[off + 1] == 2):
+                raise ValueError("mixed RLE/flat scanlines unsupported")
+            off += 4
+            for c in range(4):
+                x = 0
+                while x < w:
+                    n = int(body[off])
+                    off += 1
+                    if n > 128:  # run
+                        rgbe[y, x : x + n - 128, c] = body[off]
+                        off += 1
+                        x += n - 128
+                    else:  # literal
+                        rgbe[y, x : x + n, c] = body[off : off + n]
+                        off += n
+                        x += n
+    e = rgbe[..., 3].astype(np.int32)
+    scale = np.where(e > 0, np.exp2(e - 136.0), 0.0).astype(np.float32)
+    return rgbe[..., :3].astype(np.float32) * scale[..., None]
 
 
 def srgb_to_linear_np(x: np.ndarray) -> np.ndarray:
