@@ -97,8 +97,10 @@ def test_furnace_parity():
 
 
 def test_cornell_parity():
-    # small emissive light, no NEE: high variance GI.
-    compare("cornell", frames=48, mean_tol=0.015, p95_tol=0.05, max_tol=0.15)
+    # small emissive light, no NEE: high variance GI. 16 frames keeps the
+    # default suite fast; tolerances sized for that noise level (48-frame
+    # calibration: mean 0.0011, p95 0.020, max 0.048).
+    compare("cornell", frames=16, mean_tol=0.01, p95_tol=0.07, max_tol=0.2)
 
 
 def test_testtree_parity():
@@ -108,9 +110,11 @@ def test_testtree_parity():
 def test_spheres_parity():
     # 5x5 BRDF sweep under the synthetic HDR sky (nearest-sampled):
     # exercises metal/rough/translucent lobes + the float texture path.
-    compare("spheres", frames=24, mean_tol=0.02, p95_tol=0.08, max_tol=0.5)
+    # (24-frame calibration: mean 0.0015, p95 0.008, max 0.017.)
+    compare("spheres", frames=6, mean_tol=0.03, p95_tol=0.06, max_tol=0.5)
 
 
+@pytest.mark.slow
 def test_trimesh_parity():
     compare("trimesh", frames=24, mean_tol=0.02, p95_tol=0.06, max_tol=0.3)
 

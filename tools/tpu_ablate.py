@@ -1,0 +1,25 @@
+#!/usr/bin/env python3
+"""Kernel cost bisection via TRACY_PALLAS_ABLATE (results wrong; time only).
+
+Must re-import tracy_tpu per ablation -> runs each config as a subprocess.
+"""
+import os
+import subprocess
+import sys
+
+PROBE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tpu_probe_r2.py")
+
+for ab in ("", "noreadback", "nomt", "nodma", "noreadback,nomt",
+           "noreadback,nomt,nodma", "noleaf"):
+    env = dict(os.environ, TRACY_PALLAS_ABLATE=ab, PROBE_LEAF="128",
+               PROBE_PPS="2", PROBE_SKIP_C="1", PROBE_SKIP_D="1")
+    print(f"=== ablate [{ab or 'none'}] ===", flush=True)
+    r = subprocess.run([sys.executable, "-u", PROBE], env=env,
+                       capture_output=True, text=True, timeout=2400)
+    for line in r.stdout.splitlines():
+        if "us/packet" in line or "live fraction" in line:
+            print(line, flush=True)
+    if r.returncode != 0:
+        print(f"ablate [{ab}] FAILED rc={r.returncode}", flush=True)
+        print(r.stderr[-1500:], flush=True)
+        break

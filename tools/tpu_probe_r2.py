@@ -24,6 +24,7 @@ REPS = int(os.environ.get("PROBE_REPS", 8))
 LEAF = int(os.environ.get("PROBE_LEAF", 64))
 PPS_LIST = tuple(int(x) for x in os.environ.get("PROBE_PPS", "4,8,16,32").split(","))
 SKIP_C = os.environ.get("PROBE_SKIP_C", "0") == "1"
+SKIP_D = os.environ.get("PROBE_SKIP_D", "0") == "1"
 
 
 def main() -> int:
@@ -142,6 +143,9 @@ def main() -> int:
         timed_intersect(o2[:n], d2[:n], act2[:n], 8, f"wave2/{frac}",
                         reps=max(2, REPS // 2))
 
+    if SKIP_D:
+        print("[probe] DONE", flush=True)
+        return 0
     print("[probe] === D0: frame minus intersection (stub intersector) ===",
           flush=True)
     from tracy_tpu.accel.packet import PacketAttrs

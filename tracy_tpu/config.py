@@ -93,9 +93,11 @@ class RenderConfig:
     # Pallas kernels (TPU only; automatic XLA fallback when the scene doesn't
     # fit the kernel's VMEM budget or the backend is CPU).
     use_pallas: bool = True
-    # Packets per Pallas grid step: amortizes the fixed per-grid-step cost
-    # (~0.5ms measured on v5e/axon round 1) over more packets.
-    pallas_packets_per_step: int = 8
+    # Packets per Pallas grid step. The kernel unrolls packets with static
+    # indices (dynamic block indexing serializes on Mosaic, ~50us/packet);
+    # keep small — the per-grid-step overhead is negligible (measured) and
+    # big values inflate compile time linearly.
+    pallas_packets_per_step: int = 2
 
     # Compute dtype for shading math.
     dtype: str = "float32"

@@ -34,6 +34,7 @@ CPU for correctness tests.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -45,6 +46,15 @@ from jax.experimental.pallas import tpu as pltpu
 from tracy_tpu.core import math as tm
 from tracy_tpu.render.intersect import FLT_MAX, Hit
 from tracy_tpu.accel.packet import PackedBVH, PacketAttrs
+
+# Probe-only ablation knobs (comma list): 'noleaf' skips leaf visits
+# entirely, 'nodma' skips the per-leaf chunk DMAs (stale scratch data),
+# 'noreadback' skips winner gathers/attribute interpolation, 'nomt' skips
+# the MT row loop. Results are WRONG under ablation — perf bisection only
+# (tools/tpu_probe_r2.py).
+_ABLATE = frozenset(
+    x for x in os.environ.get("TRACY_PALLAS_ABLATE", "").split(",") if x
+)
 
 LEAF = 128  # static leaf window; every leaf owns an ALIGNED 128-slot chunk
 # (Mosaic vector loads from the lane dimension must be 128-aligned)
@@ -188,19 +198,20 @@ def _kernel(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays_ref, out_ref,
             stack_ref, w_s, a_s, a16_s, acc_ref, dma_sems,
             *, stack_depth: int, num_attr: int, num_out: int,
             packets_per_step: int):
-    """One grid step = `packets_per_step` packets, looped with fori so the
-    fixed per-grid-step cost (~0.5ms measured on v5e/axon) amortizes.
+    """One grid step = `packets_per_step` packets, unrolled with STATIC
+    packet indices. Round 1 looped packets with fori and indexed
+    rays_ref/out_ref by the traced loop index — a value-level dynamic
+    block access that Mosaic serializes at ~50us PER PACKET (measured:
+    23-visit coherent packets cost 55us while 897-visit incoherent ones
+    cost only 294us — a flat ~50us both pay). Static indices remove it.
     rays_ref [PPS, 7, 8, 128]; out_ref [PPS, 3 + num_out, 8, 128]."""
 
-    def one_packet(pkt, _):
-        ray_block = rays_ref[pkt]  # [7, 8, 128]
+    for pkt in range(packets_per_step):
+        ray_block = rays_ref[pkt]  # [7, 8, 128] — static index
         _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref,
                      ray_block, out_ref, pkt, stack_ref, w_s, a_s, a16_s,
                      acc_ref, dma_sems, stack_depth=stack_depth,
                      num_attr=num_attr, num_out=num_out)
-        return 0
-
-    jax.lax.fori_loop(0, packets_per_step, one_packet, 0)
 
 
 def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays, out_ref,
@@ -297,6 +308,8 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays, out_ref,
             return (sp2, bt)
 
         def leaf_case(sp_in, bt):
+            if "noleaf" in _ABLATE:
+                return (sp_in, bt)
             first = m_first
 
             # The leaf's CHUNK is 128-aligned by construction (build_tables
@@ -313,12 +326,13 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays, out_ref,
                 attr_ref.at[:, pl.ds(chunk_base, LEAF)], a_s, dma_sems.at[1])
             cp_a16 = pltpu.make_async_copy(
                 attr16_ref.at[:, pl.ds(chunk_base, LEAF)], a16_s, dma_sems.at[2])
-            cp_w.start()
-            cp_a.start()
-            cp_a16.start()
-            cp_w.wait()
-            cp_a.wait()
-            cp_a16.wait()
+            if "nodma" not in _ABLATE:
+                cp_w.start()
+                cp_a.start()
+                cp_a16.start()
+                cp_w.wait()
+                cp_a.wait()
+                cp_a16.wait()
 
             def winrow(ref, k):  # [1, LEAF] lane window (for winner gathers)
                 return ref[k, :].reshape(1, LEAF)
@@ -378,13 +392,19 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays, out_ref,
                 cand_idx = jnp.where(upd, win_idx[None, :], cand_idx)
                 return (cand_t, cand_idx)
 
-            cand_t, cand_idx = jax.lax.fori_loop(
-                0, 8, row_body,
-                (jnp.full((8, 128), jnp.float32(BIG)),
-                 jnp.full((8, 128), jnp.int32(LEAF))),
-            )
+            if "nomt" in _ABLATE:
+                cand_t = jnp.full((8, 128), jnp.float32(BIG)) - ox
+                cand_idx = jnp.zeros((8, 128), jnp.int32)
+            else:
+                cand_t, cand_idx = jax.lax.fori_loop(
+                    0, 8, row_body,
+                    (jnp.full((8, 128), jnp.float32(BIG)),
+                     jnp.full((8, 128), jnp.int32(LEAF))),
+                )
 
             imp = cand_t < best_t_plane  # [8, 128]
+            if "noreadback" in _ABLATE:
+                return (sp_in, jnp.where(imp, cand_t, bt))
             gidx = jnp.minimum(cand_idx, LEAF - 1)
 
             # Winner readback: per-lane gather WITHIN the 128-lane chunk row
@@ -468,7 +488,7 @@ def _num_attr_planes(with_tangent: bool) -> int:
 def pallas_intersect(
     origin, direction, active, tables: PallasSceneTables,
     stack_depth: int = 64, interpret: bool = False,
-    packets_per_step: int = 8,
+    packets_per_step: int = 2,
 ) -> Tuple[Hit, PacketAttrs]:
     """Full wavefront intersection via the Pallas kernel."""
     n = origin.shape[0]
