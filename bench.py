@@ -68,6 +68,17 @@ def orchestrate():
 
 def main():
     import jax
+
+    # Persistent compilation cache (VERDICT r1 #6: kill the warmup). Works
+    # transparently when the backend honors it; harmless otherwise.
+    cache_dir = os.environ.get("TRACY_COMPILE_CACHE", "/tmp/tracy_jit_cache")
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        except Exception as e:
+            print(f"[bench] compile cache unavailable: {e}", file=sys.stderr)
+
     import numpy as np
 
     from tracy_tpu.config import RenderConfig
@@ -98,7 +109,11 @@ def main():
         width=width, height=height, spp=1, max_bounces=5,
         russian_roulette=True, tonemap="srgb", accel="packet",
         ray_chunk=ray_chunk,
-        pallas_packets_per_step=int(os.environ.get("TRACY_BENCH_PPS", 8)),
+        pallas_packets_per_step=int(os.environ.get("TRACY_BENCH_PPS", 2)),
+        # Per-wave live-ray compaction (accel/reorder.py): 4096 measured
+        # best on the dragon frame sweep (tools/tpu_probe_compact.py,
+        # 640x480: 251/218/198/205 ms for 0/2048/4096/8192).
+        wave_compact_group=int(os.environ.get("TRACY_BENCH_COMPACT", 4096)),
     )
     r = Renderer(cfg)
     state = init_state(cfg)

@@ -50,14 +50,19 @@ def load_golden(name):
 
 
 def render_ours(name, frames, flip=True):
-    """Render the same small scene with the XLA packet path on the test
-    backend (CPU mesh) and return the same 0..255 tonemapped float image,
-    bottom row first."""
+    """Render the same small scene on the test backend (CPU mesh) and
+    return the same 0..255 tonemapped float image, bottom row first.
+
+    Uses the per-ray-stack 'bvh' tier: it is ~10x faster than the packet
+    tier on CPU, and hit-level agreement across all tiers (bvh / packet /
+    pallas vs brute force) is asserted separately in test_bvh.py /
+    test_packet.py / test_pallas_packet.py, so parity here covers the
+    shared physics (materials, RNG, sky, accumulation), not traversal."""
     # data_root resolves the reference's meshes/textures; the synthetic
     # sky.hdr fixture resolves via the scn dir's parent (tests/goldens/data).
     b = load_scene(os.path.join(SCN, f"{name}.scn"), data_root="/root/reference")
     scene = b.build()
-    cfg = RenderConfig(width=b.width, height=b.height, spp=1, accel="packet",
+    cfg = RenderConfig(width=b.width, height=b.height, spp=1, accel="bvh",
                        use_pallas=False)
     r = Renderer(cfg)
     st = init_state(cfg)

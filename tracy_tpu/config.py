@@ -90,6 +90,13 @@ class RenderConfig:
     # Ray chunking: rays per device-side wavefront chunk (0 = all at once).
     ray_chunk: int = 0
 
+    # Per-wave live-ray compaction block (rays; 0 = off). Power of two,
+    # a multiple of packet_size: each bounce, live rays are routed to the
+    # front of every block by the gather-free butterfly in accel/reorder.py
+    # so late waves hit few dense packets instead of many sparse ones.
+    # Applies to the rich packet intersectors (accel='packet'/'tlas').
+    wave_compact_group: int = 0
+
     # Pallas kernels (TPU only; automatic XLA fallback when the scene doesn't
     # fit the kernel's VMEM budget or the backend is CPU).
     use_pallas: bool = True
@@ -115,6 +122,12 @@ class RenderConfig:
             raise ValueError("max_bounces must be >= 1")
         if self.spp < 1:
             raise ValueError("spp must be >= 1")
+        g = self.wave_compact_group
+        if g and (g & (g - 1) or g % self.packet_size):
+            raise ValueError(
+                "wave_compact_group must be a power of two multiple of "
+                f"packet_size, got {g}"
+            )
 
     @property
     def resolution(self) -> Tuple[int, int]:

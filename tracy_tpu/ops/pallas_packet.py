@@ -50,7 +50,10 @@ from tracy_tpu.accel.packet import PackedBVH, PacketAttrs
 # Probe-only ablation knobs (comma list): 'noleaf' skips leaf visits
 # entirely, 'nodma' skips the per-leaf chunk DMAs (stale scratch data),
 # 'noreadback' skips winner gathers/attribute interpolation, 'nomt' skips
-# the MT row loop. Results are WRONG under ablation — perf bisection only
+# the MT row loop, 'notrav' skips the traversal while-loop entirely
+# (isolates per-packet plumbing: ray reads + acc init + out writes),
+# 'noout' writes only the t plane, 'noinit' skips the acc scratch init.
+# Results are WRONG under ablation — perf bisection only
 # (tools/tpu_probe_r2.py).
 _ABLATE = frozenset(
     x for x in os.environ.get("TRACY_PALLAS_ABLATE", "").split(",") if x
@@ -69,12 +72,17 @@ class PallasSceneTables(NamedTuple):
     node_bounds: jnp.ndarray  # [Nn, 8] f32
     node_meta: jnp.ndarray  # [Nn, 4] i32
     woop: jnp.ndarray  # [12, Tpad] f32 Woop affine rows: (R_k0,R_k1,R_k2,b_k) k=0..2
-    attrs: jnp.ndarray  # [7, Tpad] f32: uv0..uv2 (6), mat (1)
-    attrs16: jnp.ndarray  # [9|18, Tpad] bf16: n corners (9)[, tangent corners (9)]
+    # Fused attribute table, ONE DMA per winner readback: uv corners
+    # (6 f32 rows), material (1 f32 row), then bf16 PAIRS bitcast into f32
+    # lanes ((hi<<16)|lo): normal corners 9 -> 5 rows[, tangent corners
+    # 9 -> 5 rows]. bf16 packing halves the per-chunk gather count (the
+    # readback dominator; a bf16 value is exactly the top half of an f32).
+    attrs: jnp.ndarray  # [12|17 -> pad8 = 16|24, Tpad] f32
 
     @property
     def with_tangent(self) -> bool:
-        return self.attrs16.shape[0] > 16  # 9 -> padded 16; 18 -> padded 24
+        # Static under tracing (shape-derived): 12 rows pad to 16, 17 to 24.
+        return self.attrs.shape[0] > 16
 
     @property
     def vmem_bytes(self) -> int:
@@ -94,24 +102,27 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool) -> PallasSceneTables
     meta = np.asarray(bvh.node_meta).copy()
     order0 = np.asarray(bvh.tri_order)
     leaf_nodes = np.where(meta[:, 1] > 0)[0]
-    # Bin-pack leaves into 128-slot chunks (first-fit decreasing) so window
-    # loads are chunk-aligned while padding waste stays small. A leaf's
-    # meta[0] becomes chunk*128 + sub_offset; the kernel masks
+    # Pack leaves into 128-slot chunks IN TREE ORDER (greedy sequential
+    # first-fit: fill the current chunk until the next leaf doesn't fit).
+    # The flattened BVH's leaf order is depth-first, i.e. spatially
+    # coherent, so a packet's winning triangles cluster into FEW distinct
+    # chunks — the phase-2 winner readback (one iteration per distinct
+    # winning chunk) is the incoherent-wave dominator, and round 2's
+    # first-fit-decreasing packing scattered adjacent leaves across
+    # arbitrary chunks. Slot waste vs FFD is bounded by one partial leaf
+    # per chunk (measured +8% chunks on the dragon). A leaf's meta[0]
+    # becomes chunk*128 + sub_offset; the kernel masks
     # [sub_offset, sub_offset + count) within the chunk.
-    counts = np.minimum(meta[leaf_nodes, 1], LEAF)
-    by_size = leaf_nodes[np.argsort(-counts)]
-    chunk_fill = []  # used slots per chunk
+    chunk_fill = [0]  # used slots per chunk
     placement = {}
-    for n in by_size:
+    # meta[:,0] (segment start in tri_order) is exactly the left-to-right
+    # DFS position of each leaf.
+    for n in leaf_nodes[np.argsort(meta[leaf_nodes, 0], kind="stable")]:
         c = int(min(meta[n, 1], LEAF))
-        for ci in range(len(chunk_fill)):
-            if chunk_fill[ci] + c <= LEAF:
-                placement[n] = (ci, chunk_fill[ci])
-                chunk_fill[ci] += c
-                break
-        else:
-            placement[n] = (len(chunk_fill), 0)
-            chunk_fill.append(c)
+        if chunk_fill[-1] + c > LEAF:
+            chunk_fill.append(0)
+        placement[n] = (len(chunk_fill) - 1, chunk_fill[-1])
+        chunk_fill[-1] += c
     aligned_slots = max(len(chunk_fill), 1) * LEAF
     order = np.zeros((aligned_slots,), np.int64)
     valid = np.zeros((aligned_slots,), bool)
@@ -156,19 +167,42 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool) -> PallasSceneTables
     n0, n1, n2 = nrm[idx[:, 0]], nrm[idx[:, 1]], nrm[idx[:, 2]]
     u0, u1, u2 = uv[idx[:, 0]], uv[idx[:, 1]], uv[idx[:, 2]]
     mat = np.asarray(scene.tri_material)[order].astype(np.float32)
-    # f32 planes: texture uvs (precision matters for texel addressing) + mat.
-    attrs = np.stack([plane(a) for a in
-                      [u0[:, 0], u0[:, 1], u1[:, 0], u1[:, 1],
-                       u2[:, 0], u2[:, 1], mat]])
-    # bf16 planes: shading normals (and tangents) tolerate ~0.4% error.
-    a16_list = [n0[:, 0], n0[:, 1], n0[:, 2], n1[:, 0], n1[:, 1], n1[:, 2],
-                n2[:, 0], n2[:, 1], n2[:, 2]]
+
+    def pack_pairs(vals):
+        """bf16-quantize each plane; pack pairs as (hi<<16)|lo bitcast f32.
+        A lone last plane packs against zeros."""
+        rows = []
+        for i in range(0, len(vals), 2):
+            hi = plane(vals[i])
+            # bf16 bits are exactly the top half of the f32 they round to.
+            hi_bits = np.asarray(
+                jnp.asarray(hi, jnp.bfloat16).astype(jnp.float32)
+            ).view(np.uint32) & 0xFFFF0000
+            if i + 1 < len(vals):
+                lo = plane(vals[i + 1])
+                lo_bits = np.asarray(
+                    jnp.asarray(lo, jnp.bfloat16).astype(jnp.float32)
+                ).view(np.uint32) >> 16
+            else:
+                lo_bits = np.zeros_like(hi_bits)
+            rows.append((hi_bits | lo_bits).view(np.float32))
+        return rows
+
+    # f32 rows: texture uvs (precision matters for texel addressing) + mat;
+    # bf16-pair rows: shading normals (and tangents) tolerate ~0.4% error.
+    attr_rows = [plane(a) for a in
+                 [u0[:, 0], u0[:, 1], u1[:, 0], u1[:, 1],
+                  u2[:, 0], u2[:, 1], mat]]
+    attr_rows += pack_pairs([n0[:, 0], n0[:, 1], n0[:, 2],
+                             n1[:, 0], n1[:, 1], n1[:, 2],
+                             n2[:, 0], n2[:, 1], n2[:, 2]])
     if with_tangent:
         tan = np.asarray(scene.vertex_tangent, np.float32)
         t0, t1c, t2c = tan[idx[:, 0]], tan[idx[:, 1]], tan[idx[:, 2]]
-        a16_list += [t0[:, 0], t0[:, 1], t0[:, 2], t1c[:, 0], t1c[:, 1],
-                     t1c[:, 2], t2c[:, 0], t2c[:, 1], t2c[:, 2]]
-    attrs16 = np.stack([plane(a) for a in a16_list]).astype(jnp.bfloat16)
+        attr_rows += pack_pairs([t0[:, 0], t0[:, 1], t0[:, 2],
+                                 t1c[:, 0], t1c[:, 1], t1c[:, 2],
+                                 t2c[:, 0], t2c[:, 1], t2c[:, 2]])
+    attrs = np.stack(attr_rows)  # 12 | 17 rows -> pad8 to 16 | 24
 
     def pad8(arr):
         # DMA slices require the (sublane) plane dimension to be a multiple
@@ -183,20 +217,18 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool) -> PallasSceneTables
 
     woop = pad8(woop)
     attrs = pad8(attrs)
-    attrs16 = pad8(np.asarray(attrs16))
 
     return PallasSceneTables(
         node_bounds=jnp.asarray(np.asarray(bvh.node_bounds, np.float32)),
         node_meta=jnp.asarray(meta.astype(np.int32)),
         woop=jnp.asarray(woop),
         attrs=jnp.asarray(attrs),
-        attrs16=jnp.asarray(attrs16),
     )
 
 
-def _kernel(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays_ref, out_ref,
-            stack_ref, w_s, a_s, a16_s, acc_ref, dma_sems,
-            *, stack_depth: int, num_attr: int, num_out: int,
+def _kernel(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
+            stack_ref, w_s, a_s, acc_ref, dma_sems,
+            *, stack_depth: int, with_tangent: bool, num_out: int,
             packets_per_step: int):
     """One grid step = `packets_per_step` packets, unrolled with STATIC
     packet indices. Round 1 looped packets with fori and indexed
@@ -208,15 +240,15 @@ def _kernel(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays_ref, out_ref,
 
     for pkt in range(packets_per_step):
         ray_block = rays_ref[pkt]  # [7, 8, 128] — static index
-        _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref,
-                     ray_block, out_ref, pkt, stack_ref, w_s, a_s, a16_s,
+        _packet_body(nb_ref, nm_ref, woop_ref, attr_ref,
+                     ray_block, out_ref, pkt, stack_ref, w_s, a_s,
                      acc_ref, dma_sems, stack_depth=stack_depth,
-                     num_attr=num_attr, num_out=num_out)
+                     with_tangent=with_tangent, num_out=num_out)
 
 
-def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays, out_ref,
-                 pkt, stack_ref, w_s, a_s, a16_s, acc_ref, dma_sems,
-                 *, stack_depth: int, num_attr: int, num_out: int):
+def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
+                 pkt, stack_ref, w_s, a_s, acc_ref, dma_sems,
+                 *, stack_depth: int, with_tangent: bool, num_out: int):
     ox = rays[0]
     oy = rays[1]
     oz = rays[2]
@@ -235,14 +267,19 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays, out_ref,
 
     stack_ref[0] = 0
 
-    # Slim while-loop carry: (sp, best_t) ONLY. The u/v/attribute planes are
-    # accumulated in a VMEM scratch (acc_ref, STATIC plane indices — dynamic
-    # value-level loads at a traced index are a Mosaic lowering gap) by each
-    # leaf visit instead of being threaded through every while/cond
-    # iteration, and copied to the output block once at the end.
+    # Slim while-loop carry: (sp, best_t) ONLY. Traversal records just the
+    # per-ray WINNER (chunk base + in-chunk slot) in VMEM scratch planes;
+    # the expensive winner readback (attribute DMAs + ~28 in-row gathers +
+    # interpolation — measured 0.8us/visit, ~75% of incoherent packet cost)
+    # runs ONCE PER DISTINCT WINNING CHUNK in a second phase, not once per
+    # leaf visit.
+    # acc planes: [0]=win chunk base (f32, -1 = none), [1]=win slot,
+    # [2]=u, [3]=v, [4:]=attributes.
     zero = jnp.zeros((8, 128), jnp.float32)
-    for k in range(2 + num_out):
-        acc_ref[k] = zero
+    acc_ref[0] = zero - 1.0
+    if "noinit" not in _ABLATE:
+        for k in range(1, 4 + num_out):
+            acc_ref[k] = zero
     init = (
         jnp.int32(1),
         jnp.where(active, jnp.float32(BIG), jnp.float32(-BIG)),  # dead lanes hit nothing
@@ -322,23 +359,9 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays, out_ref,
 
             cp_w = pltpu.make_async_copy(
                 woop_ref.at[:, pl.ds(chunk_base, LEAF)], w_s, dma_sems.at[0])
-            cp_a = pltpu.make_async_copy(
-                attr_ref.at[:, pl.ds(chunk_base, LEAF)], a_s, dma_sems.at[1])
-            cp_a16 = pltpu.make_async_copy(
-                attr16_ref.at[:, pl.ds(chunk_base, LEAF)], a16_s, dma_sems.at[2])
             if "nodma" not in _ABLATE:
                 cp_w.start()
-                cp_a.start()
-                cp_a16.start()
                 cp_w.wait()
-                cp_a.wait()
-                cp_a16.wait()
-
-            def winrow(ref, k):  # [1, LEAF] lane window (for winner gathers)
-                return ref[k, :].reshape(1, LEAF)
-
-            def winrow16(ref_idx):
-                return a16_s[ref_idx, :].reshape(1, LEAF)
 
             # Woop coefficient windows as [LEAF, 1] for the pair grid.
             W = [w_s[k, :].reshape(LEAF, 1) for k in range(12)]
@@ -353,7 +376,7 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays, out_ref,
             best_t_plane = bt
 
             def row_body(r, carry):
-                cand_t, cand_idx = carry
+                cand_t, cand_idx, cand_u, cand_v = carry
                 r_mask = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == r
 
                 def row(plane):  # row r of [8,128] without dynamic_slice
@@ -387,102 +410,129 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, attr16_ref, rays, out_ref,
                 win_idx = jnp.min(
                     jnp.where(oh_raw, sub_iota, jnp.int32(LEAF)), axis=0
                 )  # [128]
+                # Winner u/v by min-trick over the ONE-hot (u,v >= 0, so a
+                # masked min extracts the winning slot's value): this keeps
+                # the woop table out of the phase-2 readback entirely.
+                oh1 = oh_raw & (sub_iota == win_idx[None, :])
+                u_row = jnp.min(jnp.where(oh1, uu, jnp.float32(BIG)), axis=0)
+                v_row = jnp.min(jnp.where(oh1, vv, jnp.float32(BIG)), axis=0)
                 upd = r_mask  # write this row's results
                 cand_t = jnp.where(upd, row_best[None, :], cand_t)
                 cand_idx = jnp.where(upd, win_idx[None, :], cand_idx)
-                return (cand_t, cand_idx)
+                cand_u = jnp.where(upd, u_row[None, :], cand_u)
+                cand_v = jnp.where(upd, v_row[None, :], cand_v)
+                return (cand_t, cand_idx, cand_u, cand_v)
 
             if "nomt" in _ABLATE:
                 cand_t = jnp.full((8, 128), jnp.float32(BIG)) - ox
                 cand_idx = jnp.zeros((8, 128), jnp.int32)
+                cand_u = cand_v = jnp.zeros((8, 128), jnp.float32)
             else:
-                cand_t, cand_idx = jax.lax.fori_loop(
+                cand_t, cand_idx, cand_u, cand_v = jax.lax.fori_loop(
                     0, 8, row_body,
                     (jnp.full((8, 128), jnp.float32(BIG)),
-                     jnp.full((8, 128), jnp.int32(LEAF))),
+                     jnp.full((8, 128), jnp.int32(LEAF)),
+                     jnp.zeros((8, 128), jnp.float32),
+                     jnp.zeros((8, 128), jnp.float32)),
                 )
 
             imp = cand_t < best_t_plane  # [8, 128]
-            if "noreadback" in _ABLATE:
-                return (sp_in, jnp.where(imp, cand_t, bt))
-            gidx = jnp.minimum(cand_idx, LEAF - 1)
-
-            # Winner readback: per-lane gather WITHIN the 128-lane chunk row
-            # (tpu dynamic_gather — fast), batched over all 8 ray rows.
-            def pick(ref, k):
-                w = jnp.broadcast_to(winrow(ref, k), (8, LEAF))
-                return jnp.take_along_axis(w, gidx, axis=1)
-
-            Wsel = [pick(w_s, k) for k in range(12)]
-            opx_s = Wsel[0] * ox + Wsel[1] * oy + Wsel[2] * oz + Wsel[3]
-            dpx_s = Wsel[0] * dx + Wsel[1] * dy + Wsel[2] * dz
-            opy_s = Wsel[4] * ox + Wsel[5] * oy + Wsel[6] * oz + Wsel[7]
-            dpy_s = Wsel[4] * dx + Wsel[5] * dy + Wsel[6] * dz
-            u_sel = opx_s + cand_t * dpx_s
-            v_sel = opy_s + cand_t * dpy_s
-            w_sel = 1.0 - u_sel - v_sel
-
-            def asel(k):  # f32 planes: uv0..uv2 (0..5), mat (6)
-                return pick(a_s, k)
-
-            def asel16(k):  # bf16 planes: n corners (0..8)[, tangents 9..17]
-                # tpu.dynamic_gather needs value/index bitwidths to match:
-                # upcast the small [1, LEAF] window to f32 BEFORE the gather.
-                w = jnp.broadcast_to(
-                    winrow16(ref_idx=k).astype(jnp.float32), (8, LEAF)
-                )
-                return jnp.take_along_axis(w, gidx, axis=1)
-
-            def put(idx, val):
-                # accumulate winner values in the static-index VMEM scratch
-                # (keeps them out of the while carry).
-                acc_ref[idx] = jnp.where(imp, val, acc_ref[idx])
-
-            put(0, u_sel)
-            put(1, v_sel)
-
-            # Attr planes are corner-major: n0.xyz n1.xyz n2.xyz,
-            # uv0 uv1 uv2, mat[, t0.xyz t1.xyz t2.xyz].
-            out_vals = []
-            for comp in range(3):  # normal xyz (bf16 planes)
-                out_vals.append(
-                    w_sel * asel16(comp) + u_sel * asel16(3 + comp)
-                    + v_sel * asel16(6 + comp)
-                )
-            for comp in range(2):  # uv (f32 planes)
-                out_vals.append(
-                    w_sel * asel(comp) + u_sel * asel(2 + comp)
-                    + v_sel * asel(4 + comp)
-                )
-            out_vals.append(asel(6))  # material id
-            if num_attr > 16:  # tangents (bf16 planes)
-                for comp in range(3):
-                    out_vals.append(
-                        w_sel * asel16(9 + comp) + u_sel * asel16(12 + comp)
-                        + v_sel * asel16(15 + comp)
-                    )
-
-            for k, val in enumerate(out_vals):
-                put(2 + k, val)
-
+            # record the winner identity + its barycentrics; the attribute
+            # fetch resolves in phase 2, once per distinct winning chunk.
+            acc_ref[0] = jnp.where(imp, jnp.float32(1.0) * chunk_base, acc_ref[0])
+            acc_ref[1] = jnp.where(imp, cand_idx.astype(jnp.float32), acc_ref[1])
+            acc_ref[2] = jnp.where(imp, cand_u, acc_ref[2])
+            acc_ref[3] = jnp.where(imp, cand_v, acc_ref[3])
             return (sp_in, jnp.where(imp, cand_t, bt))
 
         return jax.lax.cond(is_leaf, leaf_case, inner_case, sp, c[1])
 
-    out = jax.lax.while_loop(cond, body, init)
+    if "notrav" in _ABLATE:
+        t_final = init[1]
+    else:
+        out = jax.lax.while_loop(cond, body, init)
+        t_final = out[1]
 
-    out_ref[pkt, 0] = out[1]  # t (BIG/-BIG = miss)
-    for k in range(2 + num_out):
-        out_ref[pkt, 1 + k] = acc_ref[k]
+    # ---- phase 2: winner readback, once per DISTINCT winning chunk -------
+    # Per iteration: ONE fused-table DMA + 12|17 in-row gathers (u/v came
+    # from phase 1; bf16 pairs unpack with bit ops after a single gather).
+    if "noreadback" not in _ABLATE:
+        def next_chunk():
+            wc = acc_ref[0]
+            return jnp.min(jnp.where(wc >= 0.0, wc, jnp.float32(BIG)))
+
+        def rb_cond(cur):
+            return cur < jnp.float32(BIG)
+
+        def rb_body(cur):
+            chunk_base = pl.multiple_of(cur.astype(jnp.int32), LEAF)
+            cp_a = pltpu.make_async_copy(
+                attr_ref.at[:, pl.ds(chunk_base, LEAF)], a_s, dma_sems.at[1])
+            cp_a.start()
+            cp_a.wait()
+
+            sel = acc_ref[0] == cur  # [8, 128] exact (chunk bases are ints)
+            gidx = jnp.clip(acc_ref[1].astype(jnp.int32), 0, LEAF - 1)
+
+            def pick(k):
+                w = jnp.broadcast_to(a_s[k, :].reshape(1, LEAF), (8, LEAF))
+                return jnp.take_along_axis(w, gidx, axis=1)
+
+            def pick_pair(base, j):
+                # packed bf16 pair row: component j of a 9-list packed at
+                # rows base + j//2; hi half for even j, lo half for odd.
+                bits = jax.lax.bitcast_convert_type(
+                    pick(base + j // 2), jnp.uint32
+                )
+                if j % 2 == 0:
+                    bits = bits & jnp.uint32(0xFFFF0000)
+                else:
+                    bits = bits << 16
+                return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+            u_sel = acc_ref[2]
+            v_sel = acc_ref[3]
+            w_sel = 1.0 - u_sel - v_sel
+
+            def put(idx, val):
+                acc_ref[idx] = jnp.where(sel, val, acc_ref[idx])
+
+            # Fused rows: uv corners 0..5, mat 6, normal pairs 7..11
+            # [, tangent pairs 12..16].
+            k_out = 4
+            for comp in range(3):  # normal xyz (packed bf16 pairs)
+                put(k_out, w_sel * pick_pair(7, comp)
+                    + u_sel * pick_pair(7, 3 + comp)
+                    + v_sel * pick_pair(7, 6 + comp))
+                k_out += 1
+            for comp in range(2):  # uv (f32 rows)
+                put(k_out, w_sel * pick(comp) + u_sel * pick(2 + comp)
+                    + v_sel * pick(4 + comp))
+                k_out += 1
+            put(k_out, pick(6))  # material id
+            k_out += 1
+            if with_tangent:  # tangent xyz (packed bf16 pairs)
+                for comp in range(3):
+                    put(k_out, w_sel * pick_pair(12, comp)
+                        + u_sel * pick_pair(12, 3 + comp)
+                        + v_sel * pick_pair(12, 6 + comp))
+                    k_out += 1
+
+            # mark processed; advance to the next distinct chunk.
+            acc_ref[0] = jnp.where(sel, jnp.float32(-2.0), acc_ref[0])
+            return next_chunk()
+
+        jax.lax.while_loop(rb_cond, rb_body, next_chunk())
+
+    out_ref[pkt, 0] = t_final  # t (BIG/-BIG = miss)
+    if "noout" not in _ABLATE:
+        for k in range(2 + num_out):
+            out_ref[pkt, 1 + k] = acc_ref[2 + k]
 
 
 def _num_out_attrs(with_tangent: bool) -> int:
     # normal3 + uv2 + mat1 (+ tangent3)
     return 9 if with_tangent else 6
-
-
-def _num_attr_planes(with_tangent: bool) -> int:
-    return 25 if with_tangent else 16
 
 
 def pallas_intersect(
@@ -518,14 +568,14 @@ def pallas_intersect(
     ksteps = k // pps
 
     kernel = functools.partial(
-        _kernel, stack_depth=stack_depth, num_attr=_num_attr_planes(wt),
+        _kernel, stack_depth=stack_depth, with_tangent=wt,
         num_out=na, packets_per_step=pps,
     )
 
-    def kernel_wrap(nb, nm, woop, attrs, attrs16, rays_blk, out_blk,
-                    stack, w_s, a_s, a16_s, acc, sems):
-        kernel(nb, nm, woop, attrs, attrs16, rays_blk, out_blk,
-               stack, w_s, a_s, a16_s, acc, sems)
+    def kernel_wrap(nb, nm, woop, attrs, rays_blk, out_blk,
+                    stack, w_s, a_s, acc, sems):
+        kernel(nb, nm, woop, attrs, rays_blk, out_blk,
+               stack, w_s, a_s, acc, sems)
 
     out = pl.pallas_call(
         kernel_wrap,
@@ -542,7 +592,6 @@ def pallas_intersect(
                          pipeline_mode=pl.Buffered(buffer_count=1)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((pps, 7, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -552,12 +601,11 @@ def pallas_intersect(
             pltpu.SMEM((stack_depth,), jnp.int32),
             pltpu.VMEM((tables.woop.shape[0], LEAF), jnp.float32),
             pltpu.VMEM((tables.attrs.shape[0], LEAF), jnp.float32),
-            pltpu.VMEM((tables.attrs16.shape[0], LEAF), jnp.bfloat16),
-            pltpu.VMEM((2 + na, 8, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((4 + na, 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(tables.node_bounds, tables.node_meta, tables.woop, tables.attrs, tables.attrs16, rays)
+    )(tables.node_bounds, tables.node_meta, tables.woop, tables.attrs, rays)
 
     def flat(p):
         return out[:, p].reshape(npad)[:n]

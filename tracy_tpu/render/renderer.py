@@ -340,6 +340,28 @@ class Renderer:
             self._accel_data = ()
             self._bind = lambda sc, acc: make_bruteforce_intersector(sc)
 
+        # Per-wave live-ray compaction around the rich packet intersectors
+        # (bit-exact routing, accel/reorder.py). The brute-force/bvh tiers
+        # return bare Hit records and traverse per ray, so compaction
+        # neither applies nor helps there.
+        if self.cfg.wave_compact_group > 0 and self.cfg.accel in (
+            "packet", "tlas"
+        ):
+            from tracy_tpu.accel.reorder import compact_intersector
+            from tracy_tpu.scene.scene import TEX_NORMAL
+
+            inner_bind = self._bind
+            grp = self.cfg.wave_compact_group
+            wt = bool(
+                (np.asarray(scene.materials.tex_index)[:, TEX_NORMAL] >= 0).any()
+            )
+
+            def bind_compact(sc, acc):
+                return compact_intersector(inner_bind(sc, acc), grp,
+                                           route_tangent=wt)
+
+            self._bind = bind_compact
+
     def _step_impl(self, scene: SceneArrays, state: RenderState, accel):
         return render_step(scene, state, self.cfg, self._bind(scene, accel))
 
