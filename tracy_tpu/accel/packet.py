@@ -84,6 +84,7 @@ class _PacketState(NamedTuple):
     tangent: jnp.ndarray  # [B, 3]
     uv0: jnp.ndarray  # [B, 2]
     mat: jnp.ndarray  # [B] f32 (material id as float; exact for < 2^24)
+    slot: jnp.ndarray  # [B] f32 winner slot in tri_order space (-1 = none)
 
 
 def _slab(o, inv_d, bmin, bmax, closest):
@@ -115,6 +116,7 @@ def _traverse_packet(o, d, active, bvh, tri, leaf_size, stack_depth,
         tangent=jnp.zeros((b, 3)),
         uv0=jnp.zeros((b, 2)),
         mat=jnp.zeros((b,)),
+        slot=jnp.full((b,), -1.0),
     )
 
     nb = bvh.node_bounds
@@ -190,6 +192,11 @@ def _traverse_packet(o, d, active, bvh, tri, leaf_size, stack_depth,
                 tg_i = s.tangent
             uv_i = interp3(sl(tri["uv0"], 2), sl(tri["uv1"], 2), sl(tri["uv2"], 2))[:, :2]
             mat_i = jnp.sum(sl(tri["mat"], 1)[None, :, 0] * ohf, axis=-1)
+            # winner slot id = leaf first + winning lane (one masked sum; the
+            # winner-recompute differentiable path maps it via tri_order).
+            slot_i = first.astype(tt.dtype) + jnp.sum(
+                lane.astype(tt.dtype) * ohf, axis=-1
+            )
 
             impc = imp[:, None]
             return _PacketState(
@@ -202,6 +209,7 @@ def _traverse_packet(o, d, active, bvh, tri, leaf_size, stack_depth,
                 tangent=jnp.where(impc, tg_i, s.tangent) if with_tangent else s.tangent,
                 uv0=jnp.where(impc, uv_i, s.uv0),
                 mat=jnp.where(imp, mat_i, s.mat),
+                slot=jnp.where(imp, slot_i, s.slot),
             )
 
         def inner_fn(s, sp):
@@ -312,7 +320,8 @@ def intersect_packet(
     origin, direction, tri, bvh: PackedBVH,
     active=None, leaf_size: int = 64, stack_depth: int = 64,
     packet_size: int = 1024, with_tangent: bool = True,
-) -> Tuple[Hit, PacketAttrs]:
+    return_slot: bool = False,
+):
     n = origin.shape[0]
     if active is None:
         active = jnp.ones((n,), bool)
@@ -328,9 +337,9 @@ def intersect_packet(
         o, d, act = args
         s = _traverse_packet(o, d, act, bvh, tri, leaf_size, stack_depth,
                              with_tangent)
-        return s.t, s.uv, s.mask, s.normal, s.tangent, s.uv0, s.mat
+        return s.t, s.uv, s.mask, s.normal, s.tangent, s.uv0, s.mat, s.slot
 
-    t, uv, mask, nrm, tg, uv0, mat = jax.lax.map(
+    t, uv, mask, nrm, tg, uv0, mat, slot = jax.lax.map(
         run,
         (
             origin.reshape(k, packet_size, 3),
@@ -354,6 +363,8 @@ def intersect_packet(
         uv=flat(uv0),
         material=flat(mat).astype(jnp.int32),
     )
+    if return_slot:
+        return hit, attrs, jnp.round(flat(slot)).astype(jnp.int32)
     return hit, attrs
 
 
@@ -375,7 +386,8 @@ def build_packet_bvh(scene, leaf_size: int = 64, max_depth: int = 60):
 def make_packet_intersector(scene, bvh: PackedBVH, leaf_size: int = 64,
                             stack_depth: int = 64, packet_size: int = 1024,
                             with_tangent: bool = True,
-                            differentiable_geometry: bool = False):
+                            differentiable_geometry: bool = False,
+                            return_slot: bool = False):
     """Rich IntersectFn: returns (Hit, PacketAttrs). The integrator detects
     the attrs and skips its gather-based interpolate_hit.
 
@@ -396,6 +408,8 @@ def make_packet_intersector(scene, bvh: PackedBVH, leaf_size: int = 64,
             origin, direction, tri_data, bvh,
             active=act, leaf_size=leaf_size, stack_depth=stack_depth,
             packet_size=packet_size, with_tangent=with_tangent,
+            return_slot=return_slot,
         )
 
+    intersect.slot_tri = bvh.tri_order  # slot -> original tri id
     return intersect

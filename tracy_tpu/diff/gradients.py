@@ -75,6 +75,98 @@ def apply_params(scene: SceneArrays, params: TrainableParams) -> SceneArrays:
     )
 
 
+class GeometryDiffIntersector:
+    """Winner-recompute differentiable intersector.
+
+    The fast non-differentiable base intersector (Pallas kernel on TPU /
+    interpret mode, XLA packet traversal otherwise) finds each ray's winning
+    triangle SLOT; the differentiable outputs (t, barycentric uv, shading
+    normal/tangent, texture uv) are then RECOMPUTED in closed form from the
+    TRACED scene arrays at that detached winner — Möller–Trumbore partials
+    of the winning triangle only, no differentiation through traversal. The
+    discrete closest-hit choice is detached (standard in path-space
+    differentiation: it changes only on measure-zero visibility
+    boundaries), exactly like the brute-force path's detached argmin.
+
+    This replaces round 1's `differentiable_geometry=True` traced-prepare
+    path, which could not be reverse-differentiated at all (lax.while_loop
+    has no reverse-mode rule) — and it runs the forward at full kernel
+    speed.
+
+    Use `bind(traced_scene)` inside the loss so gradients reach the traced
+    vertex arrays; `render_loss`/`sample_radiance` callers do this
+    automatically via the `bind` duck-type.
+    """
+
+    def __init__(self, base, slot_tri, with_tangent: bool):
+        self._base = base  # (o, d, act) -> (Hit, PacketAttrs, slot [N] i32)
+        self._slot_tri = slot_tri  # [S] i32 slot -> original triangle id
+        self._with_tangent = with_tangent
+
+    def bind(self, s: SceneArrays):
+        base, slot_tri, with_tangent = self._base, self._slot_tri, self._with_tangent
+        sg = jax.lax.stop_gradient
+
+        def isect(o, d, act):
+            hit0, attrs0, slot = base(sg(o), sg(d), act)
+            hit0 = jax.tree_util.tree_map(sg, hit0)
+            attrs0 = jax.tree_util.tree_map(sg, attrs0)
+            slot = sg(slot)
+            mask = hit0.mask
+
+            tri = slot_tri[jnp.clip(slot, 0, slot_tri.shape[0] - 1)]
+            vidx = s.indices[tri]  # [N, 3]
+            p0 = s.vertex_pos[vidx[:, 0]]
+            p1 = s.vertex_pos[vidx[:, 1]]
+            p2 = s.vertex_pos[vidx[:, 2]]
+            e1, e2 = p1 - p0, p2 - p0
+
+            # Möller–Trumbore on the winning triangle (collision.h:33-74
+            # semantics); misses keep the detached base values.
+            pvec = jnp.cross(d, e2)
+            det = jnp.sum(e1 * pvec, axis=-1)
+            safe = mask & (jnp.abs(det) > 1e-12)
+            inv_det = jnp.where(safe, 1.0 / jnp.where(safe, det, 1.0), 0.0)
+            tvec = o - p0
+            u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+            qvec = jnp.cross(tvec, e1)
+            v = jnp.sum(d * qvec, axis=-1) * inv_det
+            t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+            t = jnp.where(safe, t, hit0.t)
+            u = jnp.where(safe, u, hit0.uv[:, 0])
+            v = jnp.where(safe, v, hit0.uv[:, 1])
+            w = 1.0 - u - v
+
+            def interp(table, k):
+                a0 = table[vidx[:, 0]][:, :k]
+                a1 = table[vidx[:, 1]][:, :k]
+                a2 = table[vidx[:, 2]][:, :k]
+                return (w[:, None] * a0 + u[:, None] * a1 + v[:, None] * a2)
+
+            mc = mask[:, None]
+            normal = jnp.where(mc, interp(s.vertex_normal, 3), attrs0.normal)
+            uv_t = jnp.where(mc, interp(s.vertex_uv, 2), attrs0.uv)
+            tangent = (
+                jnp.where(mc, interp(s.vertex_tangent, 3), attrs0.tangent)
+                if with_tangent else attrs0.tangent
+            )
+
+            hit = hit0._replace(
+                t=t,
+                tri=jnp.where(mask, tri, 0),
+                uv=jnp.stack([u, v], axis=-1),
+            )
+            attrs = attrs0._replace(normal=normal, tangent=tangent, uv=uv_t)
+            return hit, attrs
+
+        return isect
+
+    def __call__(self, o, d, act):
+        """Unbound call: base values only (no geometry gradients)."""
+        hit, attrs, _slot = self._base(o, d, act)
+        return hit, attrs
+
+
 def make_training_intersector(scene: SceneArrays, cfg: RenderConfig,
                               needs_geometry_grads: bool,
                               interpret: bool = False):
@@ -86,24 +178,41 @@ def make_training_intersector(scene: SceneArrays, cfg: RenderConfig,
       ops.pallas_packet.nondiff_intersector), so the forward pass runs at
       full kernel speed (round-1 gap: gradient work was 11x slower on the
       XLA path). Falls back to the XLA packet intersector off-TPU.
-    * vertex positions trainable: the XLA packet intersector with traced
-      geometry preparation, so t/uv/normal gradients reach vertex_pos.
+    * vertex positions trainable: a GeometryDiffIntersector — the same fast
+      forward kernel, with t/uv/normal gradients recomputed at the detached
+      winning triangle (see class docstring).
     """
     import jax as _jax
 
     from tracy_tpu.accel.packet import build_packet_bvh, make_packet_intersector
 
-    if needs_geometry_grads:
-        bvh, _ = build_packet_bvh(scene, leaf_size=cfg.packet_leaf_size)
-        return make_packet_intersector(
-            scene, bvh, with_tangent=True, differentiable_geometry=True,
-            leaf_size=cfg.packet_leaf_size,
-        )
-
     on_tpu = _jax.default_backend() not in ("cpu",)
-    if cfg.use_pallas and (on_tpu or interpret):
+    use_pallas = cfg.use_pallas and (on_tpu or interpret)
+
+    if needs_geometry_grads:
+        if use_pallas:
+            from tracy_tpu.ops.pallas_packet import make_pallas_intersector
+
+            bvh, _ = build_packet_bvh(scene, leaf_size=cfg.pallas_leaf_size)
+            base = make_pallas_intersector(
+                scene, bvh, with_tangent=True,
+                stack_depth=cfg.traversal_stack_depth, interpret=interpret,
+                return_slot=True,
+            )
+            if base is not None:
+                return GeometryDiffIntersector(
+                    base, base.tables.slot_tri, with_tangent=True
+                )
+        bvh, _ = build_packet_bvh(scene, leaf_size=cfg.packet_leaf_size)
+        base = make_packet_intersector(
+            scene, bvh, with_tangent=True, leaf_size=cfg.packet_leaf_size,
+            return_slot=True,
+        )
+        return GeometryDiffIntersector(base, base.slot_tri, with_tangent=True)
+
+    if use_pallas:
         from tracy_tpu.ops.pallas_packet import (
-            build_tables, make_pallas_intersector, nondiff_intersector,
+            make_pallas_intersector, nondiff_intersector,
         )
 
         bvh, _ = build_packet_bvh(scene, leaf_size=cfg.pallas_leaf_size)
@@ -130,6 +239,10 @@ def render_loss(
     """MSE between a rendered frame (spp samples at RNG position `frame`) and
     the target. Differentiable w.r.t. `params`."""
     s = apply_params(scene, params)
+    if hasattr(intersect_fn, "bind"):
+        # GeometryDiffIntersector: rebind to the traced scene so vertex
+        # gradients flow through the winner recompute.
+        intersect_fn = intersect_fn.bind(s)
     radiance, _rays = sample_radiance(s, cfg, frame, intersect_fn)
     return jnp.mean((radiance - target) ** 2)
 

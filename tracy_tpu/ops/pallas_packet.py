@@ -78,6 +78,10 @@ class PallasSceneTables(NamedTuple):
     # 9 -> 5 rows]. bf16 packing halves the per-chunk gather count (the
     # readback dominator; a bf16 value is exactly the top half of an f32).
     attrs: jnp.ndarray  # [12|17 -> pad8 = 16|24, Tpad] f32
+    # Host-side slot -> original triangle id (not a kernel input): consumed
+    # by the winner-recompute differentiable intersector (diff/gradients.py)
+    # to map the kernel's winner-slot output back to scene.indices rows.
+    slot_tri: jnp.ndarray  # [Tpad] i32
 
     @property
     def with_tangent(self) -> bool:
@@ -223,6 +227,7 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool) -> PallasSceneTables
         node_meta=jnp.asarray(meta.astype(np.int32)),
         woop=jnp.asarray(woop),
         attrs=jnp.asarray(attrs),
+        slot_tri=jnp.asarray(np.where(valid, order, 0).astype(np.int32)),
     )
 
 
@@ -453,6 +458,14 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
         out = jax.lax.while_loop(cond, body, init)
         t_final = out[1]
 
+    # Winner GLOBAL slot (chunk base + in-chunk index; -1 = miss), written
+    # before phase 2 consumes acc[0]. Exact in f32 up to 2^24 slots. Feeds
+    # the winner-recompute differentiable intersector (diff/gradients.py).
+    if "noout" not in _ABLATE:
+        out_ref[pkt, 3 + num_out] = jnp.where(
+            acc_ref[0] >= 0.0, acc_ref[0] + acc_ref[1], jnp.float32(-1.0)
+        )
+
     # ---- phase 2: winner readback, once per DISTINCT winning chunk -------
     # Per iteration: ONE fused-table DMA + 12|17 in-row gathers (u/v came
     # from phase 1; bf16 pairs unpack with bit ops after a single gather).
@@ -538,9 +551,13 @@ def _num_out_attrs(with_tangent: bool) -> int:
 def pallas_intersect(
     origin, direction, active, tables: PallasSceneTables,
     stack_depth: int = 64, interpret: bool = False,
-    packets_per_step: int = 2,
-) -> Tuple[Hit, PacketAttrs]:
-    """Full wavefront intersection via the Pallas kernel."""
+    packets_per_step: int = 2, return_slot: bool = False,
+):
+    """Full wavefront intersection via the Pallas kernel.
+
+    Returns (Hit, PacketAttrs); with return_slot=True also the winner's
+    global slot per ray ([N] i32, -1 = miss) in the kernel's realigned
+    chunk layout — map to original triangles via tables.slot_tri."""
     n = origin.shape[0]
     npad = -(-n // PACKET) * PACKET
     wt = tables.with_tangent
@@ -561,7 +578,7 @@ def pallas_intersect(
     )  # [k, 7, 8, 128]
 
     na = _num_out_attrs(wt)
-    out_planes = 3 + na
+    out_planes = 4 + na  # t, u, v, attrs, winner slot
     pps = min(packets_per_step, k)
     while k % pps != 0:
         pps -= 1
@@ -627,6 +644,9 @@ def pallas_intersect(
         uv=jnp.stack([flat(6), flat(7)], axis=-1),
         material=jnp.round(flat(8)).astype(jnp.int32),
     )
+    if return_slot:
+        slot = jnp.round(flat(3 + na)).astype(jnp.int32)
+        return hit, attrs, jnp.where(mask, slot, -1)
     return hit, attrs
 
 
@@ -670,15 +690,19 @@ def nondiff_intersector(intersect):
 
 def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,
                             stack_depth: int = 64, interpret: bool = False,
-                            vmem_limit_bytes: int = 12 * 1024 * 1024):
+                            vmem_limit_bytes: int = 12 * 1024 * 1024,
+                            return_slot: bool = False):
     """Rich IntersectFn backed by the Pallas kernel, or None if the scene
-    doesn't fit the VMEM budget."""
+    doesn't fit the VMEM budget. The returned function carries its
+    PallasSceneTables as `.tables` (slot_tri maps winner slots to tris)."""
     tables = build_tables(scene, bvh, with_tangent)
     if tables.vmem_bytes > vmem_limit_bytes:
         return None
 
     def intersect(origin, direction, act):
         return pallas_intersect(origin, direction, act, tables,
-                                stack_depth=stack_depth, interpret=interpret)
+                                stack_depth=stack_depth, interpret=interpret,
+                                return_slot=return_slot)
 
+    intersect.tables = tables
     return intersect
