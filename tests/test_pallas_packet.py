@@ -23,7 +23,13 @@ def _rays_for(scene, n, seed=0):
 
 @pytest.mark.parametrize("with_tangent", [False, True])
 def test_pallas_matches_xla_packet(with_tangent):
-    scene = default_scene(32, 24).build()
+    b = default_scene(32, 24)
+    # Texture one material so the kernel builds the FULL attr layout
+    # (uv corner rows included); the untextured slim layout is covered by
+    # test_pallas_slim_untextured below.
+    tex = b.add_texture(np.full((4, 4, 4), 0.5, np.float32))
+    b.set_material_texture(1, 0, tex)
+    scene = b.build()
     bvh, host = build_packet_bvh(scene, leaf_size=64)
     isect_x = make_packet_intersector(scene, bvh, leaf_size=64, packet_size=1024,
                                       with_tangent=with_tangent)
@@ -57,6 +63,56 @@ def test_pallas_matches_xla_packet(with_tangent):
     if with_tangent:
         np.testing.assert_allclose(np.asarray(ap.tangent)[m],
                                    np.asarray(ax.tangent)[m], rtol=8e-3, atol=8e-3)
+
+
+def test_pallas_slim_untextured():
+    """Scenes with no non-sky textures omit the uv corner rows from the
+    fused attr table (6 fewer readback gathers); normals/material must
+    still match the XLA packet path and attrs.uv is all-zero."""
+    scene = default_scene(32, 24).build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    isect_x = make_packet_intersector(scene, bvh, leaf_size=64,
+                                      with_tangent=False)
+    isect_p = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                      interpret=True)
+    assert isect_p.tables.attrs.shape[0] == 8  # mat + 5 normal-pair rows
+    assert not isect_p.tables.has_uv
+
+    n = 2048
+    o, d = _rays_for(scene, n)
+    act = jnp.ones(n, bool)
+    hx, ax = isect_x(o, d, act)
+    hp, ap = isect_p(o, d, act)
+    m = np.asarray(hx.mask) & np.asarray(hp.mask)
+    assert m.mean() > 0.5
+    np.testing.assert_allclose(np.asarray(hp.t)[m], np.asarray(hx.t)[m],
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ap.normal)[m],
+                               np.asarray(ax.normal)[m], rtol=8e-3, atol=8e-3)
+    np.testing.assert_array_equal(np.asarray(ap.material)[m],
+                                  np.asarray(ax.material)[m])
+    assert not np.asarray(ap.uv).any()
+
+
+@pytest.mark.parametrize("rb_window", [2, 8])
+def test_pallas_rb_window(rb_window):
+    """Windowed winner readback (rb_window adjacent chunks per phase-2
+    iteration) is bit-compatible with the per-chunk default."""
+    scene = default_scene(32, 24).build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    i1 = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_window=1)
+    iw = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_window=rb_window)
+    o, d = _rays_for(scene, 2048, seed=3)
+    act = jnp.ones(2048, bool)
+    h1, a1 = i1(o, d, act)
+    hw, aw = iw(o, d, act)
+    np.testing.assert_array_equal(np.asarray(h1.mask), np.asarray(hw.mask))
+    np.testing.assert_array_equal(np.asarray(h1.t), np.asarray(hw.t))
+    np.testing.assert_array_equal(np.asarray(a1.normal), np.asarray(aw.normal))
+    np.testing.assert_array_equal(np.asarray(a1.material),
+                                  np.asarray(aw.material))
 
 
 def test_pallas_inactive_and_padding():

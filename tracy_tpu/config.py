@@ -82,6 +82,11 @@ class RenderConfig:
     # strictly fewer leaf visits at identical per-visit cost (dragon wave-2:
     # 244 -> 210 leaf visits/packet, 653 -> 470 inner, tools/traversal_stats).
     pallas_leaf_size: int = 128
+    # Winner-readback window, in 128-slot chunks (power of two). Each
+    # readback iteration DMAs and resolves one WINDOW of adjacent chunks;
+    # chunks pack in BVH tree order, so clustered winners collapse into
+    # fewer iterations on incoherent waves (the measured phase-2 dominator).
+    pallas_rb_window: int = 1
 
     # RNG algorithm (reference CPU_RAND_ALGORITHM).
     rng: str = RNG_FAST
@@ -127,6 +132,11 @@ class RenderConfig:
             raise ValueError(
                 "wave_compact_group must be a power of two multiple of "
                 f"packet_size, got {g}"
+            )
+        rbw = self.pallas_rb_window
+        if rbw not in (1, 2, 4, 8):
+            raise ValueError(
+                f"pallas_rb_window must be 1, 2, 4 or 8, got {rbw}"
             )
 
     @property

@@ -53,8 +53,11 @@ from tracy_tpu.accel.packet import PackedBVH, PacketAttrs
 # the MT row loop, 'notrav' skips the traversal while-loop entirely
 # (isolates per-packet plumbing: ray reads + acc init + out writes),
 # 'noout' writes only the t plane, 'noinit' skips the acc scratch init.
-# Results are WRONG under ablation — perf bisection only
-# (tools/tpu_probe_r2.py).
+# Phase-2 (readback) bisection: 'nodma2' skips the per-chunk attr DMA,
+# 'nogather2' replaces the in-row winner gathers with broadcasts,
+# 'noput2' skips interpolation + output-plane selects (the loop still
+# walks every distinct chunk). Results are WRONG under ablation — perf
+# bisection only (tools/tpu_probe_r2.py).
 _ABLATE = frozenset(
     x for x in os.environ.get("TRACY_PALLAS_ABLATE", "").split(",") if x
 )
@@ -73,19 +76,26 @@ class PallasSceneTables(NamedTuple):
     node_meta: jnp.ndarray  # [Nn, 4] i32
     woop: jnp.ndarray  # [12, Tpad] f32 Woop affine rows: (R_k0,R_k1,R_k2,b_k) k=0..2
     # Fused attribute table, ONE DMA per winner readback: uv corners
-    # (6 f32 rows), material (1 f32 row), then bf16 PAIRS bitcast into f32
-    # lanes ((hi<<16)|lo): normal corners 9 -> 5 rows[, tangent corners
-    # 9 -> 5 rows]. bf16 packing halves the per-chunk gather count (the
-    # readback dominator; a bf16 value is exactly the top half of an f32).
-    attrs: jnp.ndarray  # [12|17 -> pad8 = 16|24, Tpad] f32
+    # (6 f32 rows, ONLY when some non-sky material has a texture), material
+    # (1 f32 row), then bf16 PAIRS bitcast into f32 lanes ((hi<<16)|lo):
+    # normal corners 9 -> 5 rows[, tangent corners 9 -> 5 rows]. bf16
+    # packing halves the per-chunk gather count (the readback dominator; a
+    # bf16 value is exactly the top half of an f32). Untextured scenes
+    # (dragon, cornell) thus pay 6 gathers/chunk instead of 12.
+    attrs: jnp.ndarray  # [6|12|17 -> pad8 = 8|16|24, Tpad] f32
     # Host-side slot -> original triangle id (not a kernel input): consumed
     # by the winner-recompute differentiable intersector (diff/gradients.py)
     # to map the kernel's winner-slot output back to scene.indices rows.
     slot_tri: jnp.ndarray  # [Tpad] i32
 
     @property
+    def has_uv(self) -> bool:
+        # Static under tracing (shape-derived): 6 rows pad to 8 (no uv),
+        # 12 to 16 (uv), 17 to 24 (uv + tangent).
+        return self.attrs.shape[0] > 8
+
+    @property
     def with_tangent(self) -> bool:
-        # Static under tracing (shape-derived): 12 rows pad to 16, 17 to 24.
         return self.attrs.shape[0] > 16
 
     @property
@@ -127,7 +137,9 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool) -> PallasSceneTables
             chunk_fill.append(0)
         placement[n] = (len(chunk_fill) - 1, chunk_fill[-1])
         chunk_fill[-1] += c
-    aligned_slots = max(len(chunk_fill), 1) * LEAF
+    # Pad to a multiple of 8 chunks so windowed readback (rb_window <= 8)
+    # never DMAs past the table end; padding slots are invalid (det=0).
+    aligned_slots = -(-max(len(chunk_fill), 1) // 8) * 8 * LEAF
     order = np.zeros((aligned_slots,), np.int64)
     valid = np.zeros((aligned_slots,), bool)
     for n in leaf_nodes:
@@ -194,19 +206,31 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool) -> PallasSceneTables
 
     # f32 rows: texture uvs (precision matters for texel addressing) + mat;
     # bf16-pair rows: shading normals (and tangents) tolerate ~0.4% error.
-    attr_rows = [plane(a) for a in
-                 [u0[:, 0], u0[:, 1], u1[:, 0], u1[:, 1],
-                  u2[:, 0], u2[:, 1], mat]]
+    # uv corner rows are OMITTED when no non-sky material references any
+    # texture (sky equirect uvs come from the ray direction, not attrs.uv):
+    # 6 fewer gathers per readback chunk on untextured scenes.
+    tex_idx = np.asarray(scene.materials.tex_index)
+    has_uv = bool((tex_idx[1:] >= 0).any()) if tex_idx.shape[0] > 1 else False
+    attr_rows = []
+    if has_uv:
+        attr_rows += [plane(a) for a in
+                      [u0[:, 0], u0[:, 1], u1[:, 0], u1[:, 1],
+                       u2[:, 0], u2[:, 1]]]
+    attr_rows.append(plane(mat))
     attr_rows += pack_pairs([n0[:, 0], n0[:, 1], n0[:, 2],
                              n1[:, 0], n1[:, 1], n1[:, 2],
                              n2[:, 0], n2[:, 1], n2[:, 2]])
+    if with_tangent and not has_uv:
+        # Tangents exist only to orient normal maps, which need uvs; and the
+        # shape-derived layout flags require tangent => uv.
+        with_tangent = False
     if with_tangent:
         tan = np.asarray(scene.vertex_tangent, np.float32)
         t0, t1c, t2c = tan[idx[:, 0]], tan[idx[:, 1]], tan[idx[:, 2]]
         attr_rows += pack_pairs([t0[:, 0], t0[:, 1], t0[:, 2],
                                  t1c[:, 0], t1c[:, 1], t1c[:, 2],
                                  t2c[:, 0], t2c[:, 1], t2c[:, 2]])
-    attrs = np.stack(attr_rows)  # 12 | 17 rows -> pad8 to 16 | 24
+    attrs = np.stack(attr_rows)  # 6 | 12 | 17 rows -> pad8 to 8 | 16 | 24
 
     def pad8(arr):
         # DMA slices require the (sublane) plane dimension to be a multiple
@@ -233,8 +257,8 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool) -> PallasSceneTables
 
 def _kernel(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
             stack_ref, w_s, a_s, acc_ref, dma_sems,
-            *, stack_depth: int, with_tangent: bool, num_out: int,
-            packets_per_step: int):
+            *, stack_depth: int, has_uv: bool, with_tangent: bool,
+            num_out: int, packets_per_step: int, rb_window: int):
     """One grid step = `packets_per_step` packets, unrolled with STATIC
     packet indices. Round 1 looped packets with fori and indexed
     rays_ref/out_ref by the traced loop index — a value-level dynamic
@@ -248,12 +272,14 @@ def _kernel(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
         _packet_body(nb_ref, nm_ref, woop_ref, attr_ref,
                      ray_block, out_ref, pkt, stack_ref, w_s, a_s,
                      acc_ref, dma_sems, stack_depth=stack_depth,
-                     with_tangent=with_tangent, num_out=num_out)
+                     has_uv=has_uv, with_tangent=with_tangent,
+                     num_out=num_out, rb_window=rb_window)
 
 
 def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
                  pkt, stack_ref, w_s, a_s, acc_ref, dma_sems,
-                 *, stack_depth: int, with_tangent: bool, num_out: int):
+                 *, stack_depth: int, has_uv: bool, with_tangent: bool,
+                 num_out: int, rb_window: int):
     ox = rays[0]
     oy = rays[1]
     oz = rays[2]
@@ -466,10 +492,14 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
             acc_ref[0] >= 0.0, acc_ref[0] + acc_ref[1], jnp.float32(-1.0)
         )
 
-    # ---- phase 2: winner readback, once per DISTINCT winning chunk -------
-    # Per iteration: ONE fused-table DMA + 12|17 in-row gathers (u/v came
-    # from phase 1; bf16 pairs unpack with bit ops after a single gather).
+    # ---- phase 2: winner readback, once per DISTINCT winning WINDOW ------
+    # (window = rb_window adjacent 128-slot chunks; chunks are packed in
+    # tree order, so nearby rays' winners share windows). Per iteration:
+    # ONE fused-table DMA + 6|12|17 in-row gathers over the window (u/v
+    # came from phase 1; bf16 pairs unpack with bit ops after one gather).
     if "noreadback" not in _ABLATE:
+        WW = rb_window * LEAF
+
         def next_chunk():
             wc = acc_ref[0]
             return jnp.min(jnp.where(wc >= 0.0, wc, jnp.float32(BIG)))
@@ -478,18 +508,31 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
             return cur < jnp.float32(BIG)
 
         def rb_body(cur):
-            chunk_base = pl.multiple_of(cur.astype(jnp.int32), LEAF)
+            cur_i = cur.astype(jnp.int32)
+            win_base = pl.multiple_of(cur_i - jax.lax.rem(cur_i, WW), WW)
             cp_a = pltpu.make_async_copy(
-                attr_ref.at[:, pl.ds(chunk_base, LEAF)], a_s, dma_sems.at[1])
-            cp_a.start()
-            cp_a.wait()
+                attr_ref.at[:, pl.ds(win_base, WW)], a_s, dma_sems.at[1])
+            if "nodma2" not in _ABLATE:
+                cp_a.start()
+                cp_a.wait()
 
-            sel = acc_ref[0] == cur  # [8, 128] exact (chunk bases are ints)
-            gidx = jnp.clip(acc_ref[1].astype(jnp.int32), 0, LEAF - 1)
+            wb_f = win_base.astype(jnp.float32)
+            # all lanes whose winner chunk falls in this window (chunk
+            # bases are exact ints in f32; -1/-2 sentinels are < wb_f)
+            sel = (acc_ref[0] >= wb_f) & (acc_ref[0] < wb_f + WW)
+            gidx = jnp.clip(
+                (acc_ref[0] - wb_f + acc_ref[1]).astype(jnp.int32), 0, WW - 1
+            )
 
-            def pick(k):
-                w = jnp.broadcast_to(a_s[k, :].reshape(1, LEAF), (8, LEAF))
-                return jnp.take_along_axis(w, gidx, axis=1)
+            if "nogather2" in _ABLATE:
+                def pick(k):
+                    return jnp.broadcast_to(
+                        a_s[k, 0:1].reshape(1, 1), (8, 128)
+                    ) + 0.0 * acc_ref[1]
+            else:
+                def pick(k):
+                    w = jnp.broadcast_to(a_s[k, :].reshape(1, WW), (8, WW))
+                    return jnp.take_along_axis(w, gidx, axis=1)
 
             def pick_pair(base, j):
                 # packed bf16 pair row: component j of a 9-list packed at
@@ -510,26 +553,31 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
             def put(idx, val):
                 acc_ref[idx] = jnp.where(sel, val, acc_ref[idx])
 
-            # Fused rows: uv corners 0..5, mat 6, normal pairs 7..11
-            # [, tangent pairs 12..16].
-            k_out = 4
-            for comp in range(3):  # normal xyz (packed bf16 pairs)
-                put(k_out, w_sel * pick_pair(7, comp)
-                    + u_sel * pick_pair(7, 3 + comp)
-                    + v_sel * pick_pair(7, 6 + comp))
-                k_out += 1
-            for comp in range(2):  # uv (f32 rows)
-                put(k_out, w_sel * pick(comp) + u_sel * pick(2 + comp)
-                    + v_sel * pick(4 + comp))
-                k_out += 1
-            put(k_out, pick(6))  # material id
-            k_out += 1
-            if with_tangent:  # tangent xyz (packed bf16 pairs)
-                for comp in range(3):
-                    put(k_out, w_sel * pick_pair(12, comp)
-                        + u_sel * pick_pair(12, 3 + comp)
-                        + v_sel * pick_pair(12, 6 + comp))
+            # Fused rows: [uv corners 0..5 when has_uv,] mat, normal pairs
+            # [, tangent pairs]. Offsets are static per layout.
+            mat_row = 6 if has_uv else 0
+            n_base = mat_row + 1
+            t_base = n_base + 5
+            if "noput2" not in _ABLATE:
+                k_out = 4
+                for comp in range(3):  # normal xyz (packed bf16 pairs)
+                    put(k_out, w_sel * pick_pair(n_base, comp)
+                        + u_sel * pick_pair(n_base, 3 + comp)
+                        + v_sel * pick_pair(n_base, 6 + comp))
                     k_out += 1
+                if has_uv:
+                    for comp in range(2):  # uv (f32 rows)
+                        put(k_out, w_sel * pick(comp) + u_sel * pick(2 + comp)
+                            + v_sel * pick(4 + comp))
+                        k_out += 1
+                put(k_out, pick(mat_row))  # material id
+                k_out += 1
+                if with_tangent:  # tangent xyz (packed bf16 pairs)
+                    for comp in range(3):
+                        put(k_out, w_sel * pick_pair(t_base, comp)
+                            + u_sel * pick_pair(t_base, 3 + comp)
+                            + v_sel * pick_pair(t_base, 6 + comp))
+                        k_out += 1
 
             # mark processed; advance to the next distinct chunk.
             acc_ref[0] = jnp.where(sel, jnp.float32(-2.0), acc_ref[0])
@@ -543,15 +591,16 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
             out_ref[pkt, 1 + k] = acc_ref[2 + k]
 
 
-def _num_out_attrs(with_tangent: bool) -> int:
-    # normal3 + uv2 + mat1 (+ tangent3)
-    return 9 if with_tangent else 6
+def _num_out_attrs(has_uv: bool, with_tangent: bool) -> int:
+    # normal3 [+ uv2] + mat1 [+ tangent3]
+    return 3 + (2 if has_uv else 0) + 1 + (3 if with_tangent else 0)
 
 
 def pallas_intersect(
     origin, direction, active, tables: PallasSceneTables,
     stack_depth: int = 64, interpret: bool = False,
     packets_per_step: int = 2, return_slot: bool = False,
+    rb_window: int = 1,
 ):
     """Full wavefront intersection via the Pallas kernel.
 
@@ -577,7 +626,8 @@ def pallas_intersect(
         axis=1,
     )  # [k, 7, 8, 128]
 
-    na = _num_out_attrs(wt)
+    huv = tables.has_uv
+    na = _num_out_attrs(huv, wt)
     out_planes = 4 + na  # t, u, v, attrs, winner slot
     pps = min(packets_per_step, k)
     while k % pps != 0:
@@ -585,8 +635,8 @@ def pallas_intersect(
     ksteps = k // pps
 
     kernel = functools.partial(
-        _kernel, stack_depth=stack_depth, with_tangent=wt,
-        num_out=na, packets_per_step=pps,
+        _kernel, stack_depth=stack_depth, has_uv=huv, with_tangent=wt,
+        num_out=na, packets_per_step=pps, rb_window=rb_window,
     )
 
     def kernel_wrap(nb, nm, woop, attrs, rays_blk, out_blk,
@@ -617,7 +667,8 @@ def pallas_intersect(
         scratch_shapes=[
             pltpu.SMEM((stack_depth,), jnp.int32),
             pltpu.VMEM((tables.woop.shape[0], LEAF), jnp.float32),
-            pltpu.VMEM((tables.attrs.shape[0], LEAF), jnp.float32),
+            pltpu.VMEM((tables.attrs.shape[0], rb_window * LEAF),
+                       jnp.float32),
             pltpu.VMEM((4 + na, 8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -635,14 +686,19 @@ def pallas_intersect(
         uv=jnp.stack([flat(1), flat(2)], axis=-1),
         mask=mask,
     )
+    # Attr plane order mirrors the kernel's put() sequence:
+    # normal3 [, uv2], mat1 [, tangent3].
+    mat_plane = 8 if huv else 6
     attrs = PacketAttrs(
         normal=jnp.stack([flat(3), flat(4), flat(5)], axis=-1),
         tangent=(
-            jnp.stack([flat(9), flat(10), flat(11)], axis=-1)
+            jnp.stack([flat(mat_plane + 1), flat(mat_plane + 2),
+                       flat(mat_plane + 3)], axis=-1)
             if wt else jnp.zeros((n, 3))
         ),
-        uv=jnp.stack([flat(6), flat(7)], axis=-1),
-        material=jnp.round(flat(8)).astype(jnp.int32),
+        uv=(jnp.stack([flat(6), flat(7)], axis=-1) if huv
+            else jnp.zeros((n, 2))),
+        material=jnp.round(flat(mat_plane)).astype(jnp.int32),
     )
     if return_slot:
         slot = jnp.round(flat(3 + na)).astype(jnp.int32)
@@ -691,7 +747,7 @@ def nondiff_intersector(intersect):
 def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,
                             stack_depth: int = 64, interpret: bool = False,
                             vmem_limit_bytes: int = 12 * 1024 * 1024,
-                            return_slot: bool = False):
+                            return_slot: bool = False, rb_window: int = 1):
     """Rich IntersectFn backed by the Pallas kernel, or None if the scene
     doesn't fit the VMEM budget. The returned function carries its
     PallasSceneTables as `.tables` (slot_tri maps winner slots to tris)."""
@@ -702,7 +758,7 @@ def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,
     def intersect(origin, direction, act):
         return pallas_intersect(origin, direction, act, tables,
                                 stack_depth=stack_depth, interpret=interpret,
-                                return_slot=return_slot)
+                                return_slot=return_slot, rb_window=rb_window)
 
     intersect.tables = tables
     return intersect

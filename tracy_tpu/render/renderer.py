@@ -293,13 +293,14 @@ class Renderer:
 
                 depth = self.cfg.traversal_stack_depth
                 pps = self.cfg.pallas_packets_per_step
+                rbw = self.cfg.pallas_rb_window
                 self._accel_data = tables
 
                 def bind(sc, acc):
                     return nondiff_intersector(
                         lambda o, d, act: pallas_intersect(
                             o, d, act, acc, stack_depth=depth,
-                            packets_per_step=pps,
+                            packets_per_step=pps, rb_window=rbw,
                         )
                     )
 
