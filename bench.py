@@ -114,6 +114,7 @@ def main():
         # best on the dragon frame sweep (tools/tpu_probe_compact.py,
         # 640x480: 251/218/198/205 ms for 0/2048/4096/8192).
         wave_compact_group=int(os.environ.get("TRACY_BENCH_COMPACT", 4096)),
+        pallas_rb_window=int(os.environ.get("TRACY_BENCH_RBW", 1)),
     )
     r = Renderer(cfg)
     state = init_state(cfg)

@@ -9,8 +9,13 @@ import sys
 
 PROBE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tpu_probe_r2.py")
 
-for ab in ("", "noreadback", "nomt", "nodma", "noreadback,nomt",
-           "noreadback,nomt,nodma", "noleaf"):
+DEFAULT = ("", "noreadback", "nomt", "nodma", "noreadback,nomt",
+           "noreadback,nomt,nodma", "noleaf")
+# Override the config list: ABLATE_LIST="a,b|c|" (|-separated configs).
+configs = (os.environ["ABLATE_LIST"].split("|")
+           if "ABLATE_LIST" in os.environ else DEFAULT)
+
+for ab in configs:
     env = dict(os.environ, TRACY_PALLAS_ABLATE=ab, PROBE_LEAF="128",
                PROBE_PPS="2", PROBE_SKIP_C="1", PROBE_SKIP_D="1")
     print(f"=== ablate [{ab or 'none'}] ===", flush=True)

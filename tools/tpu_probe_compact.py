@@ -73,7 +73,8 @@ def main() -> int:
     for grp in COMPACT_LIST:
         cfg = RenderConfig(width=w, height=h, spp=1, accel="packet",
                            pallas_leaf_size=LEAF, wave_compact_group=grp,
-                           pallas_packets_per_step=2)
+                           pallas_packets_per_step=2,
+                           pallas_rb_window=int(os.environ.get("PROBE_RBW", 1)))
         r = Renderer(cfg)
         st = init_state(cfg)
         t0 = time.perf_counter()
