@@ -23,12 +23,13 @@ kernel runs the same algorithm on-core:
   material (+tangent when normal maps are present), as [packets, C, 8, 128]
   planes.
 
-The kernel has no VJP of its own, but `nondiff_intersector` wraps it in a
+The kernel has no VJP of its own. `nondiff_intersector` wraps it in a
 zero-gradient custom_vjp that is exact for material/texture/emissive
 inverse rendering (those gradients flow through the kernel's discrete
-outputs); geometry optimization uses the XLA intersectors
-(diff/gradients.make_training_intersector picks). Interpret mode works on
-CPU for correctness tests.
+outputs). Geometry optimization ALSO runs on this kernel: the winner-slot
+output plane + `slot_tri` feed diff/gradients.GeometryDiffIntersector,
+which recomputes t/uv/normal differentiably at the detached winning
+triangle. Interpret mode works on CPU for correctness tests.
 """
 
 from __future__ import annotations
