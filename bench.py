@@ -115,6 +115,7 @@ def main():
         # 640x480: 251/218/198/205 ms for 0/2048/4096/8192).
         wave_compact_group=int(os.environ.get("TRACY_BENCH_COMPACT", 4096)),
         pallas_rb_window=int(os.environ.get("TRACY_BENCH_RBW", 1)),
+        pallas_rb_prefetch=os.environ.get("TRACY_BENCH_RBP", "0") == "1",
     )
     r = Renderer(cfg)
     state = init_state(cfg)

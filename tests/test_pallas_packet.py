@@ -115,6 +115,30 @@ def test_pallas_rb_window(rb_window):
                                   np.asarray(aw.material))
 
 
+@pytest.mark.parametrize("rb_window", [1, 4])
+def test_pallas_rb_prefetch(rb_window):
+    """Software-pipelined readback (two windows per iteration, alternating
+    buffers) matches the serial loop to float rounding (~1 ulp: the
+    restructured expressions may compile with different fma association)."""
+    scene = default_scene(32, 24).build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    i1 = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_window=rb_window)
+    ip = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_window=rb_window,
+                                 rb_prefetch=True)
+    o, d = _rays_for(scene, 3072, seed=5)
+    act = jnp.ones(3072, bool)
+    h1, a1 = i1(o, d, act)
+    hp, ap = ip(o, d, act)
+    np.testing.assert_array_equal(np.asarray(h1.mask), np.asarray(hp.mask))
+    np.testing.assert_array_equal(np.asarray(h1.t), np.asarray(hp.t))
+    np.testing.assert_allclose(np.asarray(a1.normal), np.asarray(ap.normal),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a1.material),
+                                  np.asarray(ap.material))
+
+
 def test_pallas_inactive_and_padding():
     scene = default_scene(16, 16).build()
     bvh, _ = build_packet_bvh(scene, leaf_size=64)

@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPS = int(os.environ.get("PROBE_REPS", 8))
 RBW = int(os.environ.get("PROBE_RBW", 1))
+RBP = os.environ.get("PROBE_RBP", "0") == "1"
 LEAF = int(os.environ.get("PROBE_LEAF", 64))
 PPS_LIST = tuple(int(x) for x in os.environ.get("PROBE_PPS", "4,8,16,32").split(","))
 SKIP_C = os.environ.get("PROBE_SKIP_C", "0") == "1"
@@ -88,7 +89,7 @@ def main() -> int:
                 oo = o.at[0, 0].add(jnp.float32(i) * 1e-6)  # defeat CSE
                 hit, at = pallas_intersect(oo, d, act, tables,
                                            packets_per_step=pps,
-                                           rb_window=RBW)
+                                           rb_window=RBW, rb_prefetch=RBP)
                 return s + jnp.sum(hit.t
                                    * 0.0) + jnp.sum(jnp.where(hit.mask, 1.0, 0.0)), hit.t[0]
             return jax.lax.fori_loop(0, reps, body, (jnp.float32(0), jnp.float32(0)))
@@ -117,7 +118,8 @@ def main() -> int:
     isect_x = make_packet_intersector(scene, bvh, with_tangent=False)
 
     def wave2(o, d, act):
-        hit, attrs = pallas_intersect(o, d, act, tables, rb_window=RBW)
+        hit, attrs = pallas_intersect(o, d, act, tables, rb_window=RBW,
+                                      rb_prefetch=RBP)
         params = mtl.gather_surface_params(scene, attrs.material, attrs.uv,
                                            attrs.normal, attrs.tangent)
         r1 = rng.uniform(pixf, jnp.uint32(0), 0, DRAW_SPHERE_Z)

@@ -87,6 +87,10 @@ class RenderConfig:
     # chunks pack in BVH tree order, so clustered winners collapse into
     # fewer iterations on incoherent waves (the measured phase-2 dominator).
     pallas_rb_window: int = 1
+    # Software-pipelined winner readback: each loop iteration resolves two
+    # windows with alternating VMEM buffers so one window's attr DMA
+    # overlaps the other's gathers.
+    pallas_rb_prefetch: bool = False
 
     # RNG algorithm (reference CPU_RAND_ALGORITHM).
     rng: str = RNG_FAST

@@ -257,9 +257,10 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool) -> PallasSceneTables
 
 
 def _kernel(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
-            stack_ref, w_s, a_s, acc_ref, dma_sems,
+            stack_ref, w_s, a_s, a_s2, acc_ref, dma_sems,
             *, stack_depth: int, has_uv: bool, with_tangent: bool,
-            num_out: int, packets_per_step: int, rb_window: int):
+            num_out: int, packets_per_step: int, rb_window: int,
+            rb_prefetch: bool):
     """One grid step = `packets_per_step` packets, unrolled with STATIC
     packet indices. Round 1 looped packets with fori and indexed
     rays_ref/out_ref by the traced loop index — a value-level dynamic
@@ -271,16 +272,17 @@ def _kernel(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
     for pkt in range(packets_per_step):
         ray_block = rays_ref[pkt]  # [7, 8, 128] — static index
         _packet_body(nb_ref, nm_ref, woop_ref, attr_ref,
-                     ray_block, out_ref, pkt, stack_ref, w_s, a_s,
+                     ray_block, out_ref, pkt, stack_ref, w_s, a_s, a_s2,
                      acc_ref, dma_sems, stack_depth=stack_depth,
                      has_uv=has_uv, with_tangent=with_tangent,
-                     num_out=num_out, rb_window=rb_window)
+                     num_out=num_out, rb_window=rb_window,
+                     rb_prefetch=rb_prefetch)
 
 
 def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
-                 pkt, stack_ref, w_s, a_s, acc_ref, dma_sems,
+                 pkt, stack_ref, w_s, a_s, a_s2, acc_ref, dma_sems,
                  *, stack_depth: int, has_uv: bool, with_tangent: bool,
-                 num_out: int, rb_window: int):
+                 num_out: int, rb_window: int, rb_prefetch: bool):
     ox = rays[0]
     oy = rays[1]
     oz = rays[2]
@@ -508,15 +510,10 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
         def rb_cond(cur):
             return cur < jnp.float32(BIG)
 
-        def rb_body(cur):
+        def win_of(cur):
+            """(window base i32, lane selection, in-window winner index)."""
             cur_i = cur.astype(jnp.int32)
             win_base = pl.multiple_of(cur_i - jax.lax.rem(cur_i, WW), WW)
-            cp_a = pltpu.make_async_copy(
-                attr_ref.at[:, pl.ds(win_base, WW)], a_s, dma_sems.at[1])
-            if "nodma2" not in _ABLATE:
-                cp_a.start()
-                cp_a.wait()
-
             wb_f = win_base.astype(jnp.float32)
             # all lanes whose winner chunk falls in this window (chunk
             # bases are exact ints in f32; -1/-2 sentinels are < wb_f)
@@ -524,15 +521,18 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
             gidx = jnp.clip(
                 (acc_ref[0] - wb_f + acc_ref[1]).astype(jnp.int32), 0, WW - 1
             )
+            return win_base, sel, gidx
 
+        def resolve(buf, sel, gidx, u_sel, v_sel):
+            """Gathers + interpolation + output selects for one window."""
             if "nogather2" in _ABLATE:
                 def pick(k):
                     return jnp.broadcast_to(
-                        a_s[k, 0:1].reshape(1, 1), (8, 128)
+                        buf[k, 0:1].reshape(1, 1), (8, 128)
                     ) + 0.0 * acc_ref[1]
             else:
                 def pick(k):
-                    w = jnp.broadcast_to(a_s[k, :].reshape(1, WW), (8, WW))
+                    w = jnp.broadcast_to(buf[k, :].reshape(1, WW), (8, WW))
                     return jnp.take_along_axis(w, gidx, axis=1)
 
             def pick_pair(base, j):
@@ -547,8 +547,6 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
                     bits = bits << 16
                 return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
-            u_sel = acc_ref[2]
-            v_sel = acc_ref[3]
             w_sel = 1.0 - u_sel - v_sel
 
             def put(idx, val):
@@ -580,11 +578,57 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
                             + v_sel * pick_pair(t_base, 6 + comp))
                         k_out += 1
 
-            # mark processed; advance to the next distinct chunk.
-            acc_ref[0] = jnp.where(sel, jnp.float32(-2.0), acc_ref[0])
-            return next_chunk()
+        if not rb_prefetch:
+            def rb_body(cur):
+                win_base, sel, gidx = win_of(cur)
+                cp_a = pltpu.make_async_copy(
+                    attr_ref.at[:, pl.ds(win_base, WW)], a_s, dma_sems.at[1])
+                if "nodma2" not in _ABLATE:
+                    cp_a.start()
+                    cp_a.wait()
+                resolve(a_s, sel, gidx, acc_ref[2], acc_ref[3])
+                # mark processed; advance to the next distinct chunk.
+                acc_ref[0] = jnp.where(sel, jnp.float32(-2.0), acc_ref[0])
+                return next_chunk()
 
-        jax.lax.while_loop(rb_cond, rb_body, next_chunk())
+            jax.lax.while_loop(rb_cond, rb_body, next_chunk())
+        else:
+            # Software-pipelined: each iteration handles TWO windows with
+            # alternating buffers — window B's DMA overlaps window A's
+            # gathers, and the min-scan for the next window overlaps A's
+            # DMA. Lanes are marked processed at DMA-issue time (sel/gidx
+            # are captured first), so next_chunk() skips in-flight windows.
+            def rb_body(cur):
+                wbA, selA, gixA = win_of(cur)
+                uA, vA = acc_ref[2], acc_ref[3]
+                cpA = pltpu.make_async_copy(
+                    attr_ref.at[:, pl.ds(wbA, WW)], a_s, dma_sems.at[1])
+                cpA.start()
+                acc_ref[0] = jnp.where(selA, jnp.float32(-2.0), acc_ref[0])
+                nxt = next_chunk()
+                has_b = nxt < jnp.float32(BIG)
+                wbB, selB, gixB = win_of(jnp.where(has_b, nxt, 0.0))
+                selB = selB & has_b
+                uB, vB = acc_ref[2], acc_ref[3]
+                cpB = pltpu.make_async_copy(
+                    attr_ref.at[:, pl.ds(wbB, WW)], a_s2, dma_sems.at[2])
+
+                @pl.when(has_b)
+                def _():
+                    cpB.start()
+
+                cpA.wait()
+                resolve(a_s, selA, gixA, uA, vA)
+
+                @pl.when(has_b)
+                def _():
+                    cpB.wait()
+                    resolve(a_s2, selB, gixB, uB, vB)
+
+                acc_ref[0] = jnp.where(selB, jnp.float32(-2.0), acc_ref[0])
+                return next_chunk()
+
+            jax.lax.while_loop(rb_cond, rb_body, next_chunk())
 
     out_ref[pkt, 0] = t_final  # t (BIG/-BIG = miss)
     if "noout" not in _ABLATE:
@@ -601,7 +645,7 @@ def pallas_intersect(
     origin, direction, active, tables: PallasSceneTables,
     stack_depth: int = 64, interpret: bool = False,
     packets_per_step: int = 2, return_slot: bool = False,
-    rb_window: int = 1,
+    rb_window: int = 1, rb_prefetch: bool = False,
 ):
     """Full wavefront intersection via the Pallas kernel.
 
@@ -638,12 +682,13 @@ def pallas_intersect(
     kernel = functools.partial(
         _kernel, stack_depth=stack_depth, has_uv=huv, with_tangent=wt,
         num_out=na, packets_per_step=pps, rb_window=rb_window,
+        rb_prefetch=rb_prefetch,
     )
 
     def kernel_wrap(nb, nm, woop, attrs, rays_blk, out_blk,
-                    stack, w_s, a_s, acc, sems):
+                    stack, w_s, a_s, a_s2, acc, sems):
         kernel(nb, nm, woop, attrs, rays_blk, out_blk,
-               stack, w_s, a_s, acc, sems)
+               stack, w_s, a_s, a_s2, acc, sems)
 
     out = pl.pallas_call(
         kernel_wrap,
@@ -670,8 +715,10 @@ def pallas_intersect(
             pltpu.VMEM((tables.woop.shape[0], LEAF), jnp.float32),
             pltpu.VMEM((tables.attrs.shape[0], rb_window * LEAF),
                        jnp.float32),
+            pltpu.VMEM((tables.attrs.shape[0], rb_window * LEAF),
+                       jnp.float32),
             pltpu.VMEM((4 + na, 8, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
     )(tables.node_bounds, tables.node_meta, tables.woop, tables.attrs, rays)
@@ -748,7 +795,8 @@ def nondiff_intersector(intersect):
 def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,
                             stack_depth: int = 64, interpret: bool = False,
                             vmem_limit_bytes: int = 12 * 1024 * 1024,
-                            return_slot: bool = False, rb_window: int = 1):
+                            return_slot: bool = False, rb_window: int = 1,
+                            rb_prefetch: bool = False):
     """Rich IntersectFn backed by the Pallas kernel, or None if the scene
     doesn't fit the VMEM budget. The returned function carries its
     PallasSceneTables as `.tables` (slot_tri maps winner slots to tris)."""
@@ -759,7 +807,8 @@ def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,
     def intersect(origin, direction, act):
         return pallas_intersect(origin, direction, act, tables,
                                 stack_depth=stack_depth, interpret=interpret,
-                                return_slot=return_slot, rb_window=rb_window)
+                                return_slot=return_slot, rb_window=rb_window,
+                                rb_prefetch=rb_prefetch)
 
     intersect.tables = tables
     return intersect

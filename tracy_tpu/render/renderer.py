@@ -294,6 +294,7 @@ class Renderer:
                 depth = self.cfg.traversal_stack_depth
                 pps = self.cfg.pallas_packets_per_step
                 rbw = self.cfg.pallas_rb_window
+                rbp = self.cfg.pallas_rb_prefetch
                 self._accel_data = tables
 
                 def bind(sc, acc):
@@ -301,6 +302,7 @@ class Renderer:
                         lambda o, d, act: pallas_intersect(
                             o, d, act, acc, stack_depth=depth,
                             packets_per_step=pps, rb_window=rbw,
+                            rb_prefetch=rbp,
                         )
                     )
 
