@@ -116,6 +116,7 @@ def main():
         wave_compact_group=int(os.environ.get("TRACY_BENCH_COMPACT", 4096)),
         pallas_rb_window=int(os.environ.get("TRACY_BENCH_RBW", 1)),
         pallas_rb_prefetch=os.environ.get("TRACY_BENCH_RBP", "0") == "1",
+        pallas_rb_gather=os.environ.get("TRACY_BENCH_RBG", "take"),
     )
     r = Renderer(cfg)
     state = init_state(cfg)

@@ -15,9 +15,13 @@ DEFAULT = ("", "noreadback", "nomt", "nodma", "noreadback,nomt",
 configs = (os.environ["ABLATE_LIST"].split("|")
            if "ABLATE_LIST" in os.environ else DEFAULT)
 
+# All configs probe IDENTICAL wave-2 rays (generated once, unablated).
+rays_file = os.environ.get("PROBE_RAYS_FILE", "/tmp/tracy_probe_wave2.npz")
+
 for ab in configs:
     env = dict(os.environ, TRACY_PALLAS_ABLATE=ab, PROBE_LEAF="128",
-               PROBE_PPS="2", PROBE_SKIP_C="1", PROBE_SKIP_D="1")
+               PROBE_PPS="2", PROBE_SKIP_C="1", PROBE_SKIP_D="1",
+               PROBE_RAYS_FILE=rays_file)
     print(f"=== ablate [{ab or 'none'}] ===", flush=True)
     r = subprocess.run([sys.executable, "-u", PROBE], env=env,
                        capture_output=True, text=True, timeout=2400)

@@ -49,8 +49,10 @@ def main() -> int:
                        tonemap="none", accel="packet")
 
     frame = jnp.asarray(0, jnp.int32)
+    fwd_isect = make_training_intersector(scene, cfg,
+                                          needs_geometry_grads=False)
     target = jax.jit(
-        lambda: sample_radiance(scene, cfg, frame)[0]
+        lambda: sample_radiance(scene, cfg, frame, fwd_isect)[0]
     )()
     target.block_until_ready()
     print("[grad] target rendered", flush=True)

@@ -42,7 +42,9 @@ def main() -> int:
     b.width, b.height = w, h
     scene = b.build()
     bvh, _ = build_packet_bvh(scene, leaf_size=128)
-    tables = build_tables(scene, bvh, with_tangent=False)
+    tables = build_tables(scene, bvh, with_tangent=False,
+                          pack_pairs=(os.environ.get("PROBE_RBG", "take")
+                                      != "onehot"))
 
     rng = RngSpec("fast", 0xABCDEF)
     rows = jnp.arange(h, dtype=jnp.int32)
@@ -71,9 +73,9 @@ def main() -> int:
 
     for label, (o, d, act) in waves.items():
         hit, _ = jax.jit(
-            lambda oo, dd, aa: pallas_intersect(oo, dd, aa, tables,
-                                                packets_per_step=2,
-                                                rb_window=RBW)
+            lambda oo, dd, aa: pallas_intersect(
+                oo, dd, aa, tables, packets_per_step=2, rb_window=RBW,
+                rb_gather=os.environ.get("PROBE_RBG", "take"))
         )(o, d, act)
         # countrb writes K into every lane of the t plane.
         k_per_packet = np.asarray(hit.t).reshape(-1, 1024)[:, 0]

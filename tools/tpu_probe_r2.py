@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPS = int(os.environ.get("PROBE_REPS", 8))
 RBW = int(os.environ.get("PROBE_RBW", 1))
 RBP = os.environ.get("PROBE_RBP", "0") == "1"
+RBG = os.environ.get("PROBE_RBG", "take")
 LEAF = int(os.environ.get("PROBE_LEAF", 64))
 PPS_LIST = tuple(int(x) for x in os.environ.get("PROBE_PPS", "4,8,16,32").split(","))
 SKIP_C = os.environ.get("PROBE_SKIP_C", "0") == "1"
@@ -56,7 +57,9 @@ def main() -> int:
     scene = b.build()
     cfg = RenderConfig(width=w, height=h, spp=1, accel="packet")
     bvh, _ = build_packet_bvh(scene, leaf_size=LEAF)
-    tables = build_tables(scene, bvh, with_tangent=False)
+    tables = build_tables(scene, bvh, with_tangent=False,
+                          pack_pairs=(os.environ.get("PROBE_RBG", "take")
+                                      != "onehot"))
     print(f"[probe] dragon {b.num_triangles} tris, leaf_size={LEAF}, "
           f"node vmem {tables.vmem_bytes/1e6:.1f}MB", flush=True)
 
@@ -89,7 +92,8 @@ def main() -> int:
                 oo = o.at[0, 0].add(jnp.float32(i) * 1e-6)  # defeat CSE
                 hit, at = pallas_intersect(oo, d, act, tables,
                                            packets_per_step=pps,
-                                           rb_window=RBW, rb_prefetch=RBP)
+                                           rb_window=RBW, rb_prefetch=RBP,
+                                           rb_gather=RBG)
                 return s + jnp.sum(hit.t
                                    * 0.0) + jnp.sum(jnp.where(hit.mask, 1.0, 0.0)), hit.t[0]
             return jax.lax.fori_loop(0, reps, body, (jnp.float32(0), jnp.float32(0)))
@@ -119,7 +123,7 @@ def main() -> int:
 
     def wave2(o, d, act):
         hit, attrs = pallas_intersect(o, d, act, tables, rb_window=RBW,
-                                      rb_prefetch=RBP)
+                                      rb_prefetch=RBP, rb_gather=RBG)
         params = mtl.gather_surface_params(scene, attrs.material, attrs.uv,
                                            attrs.normal, attrs.tangent)
         r1 = rng.uniform(pixf, jnp.uint32(0), 0, DRAW_SPHERE_Z)
@@ -132,8 +136,21 @@ def main() -> int:
         alive = hit.mask & (rr <= p)
         return res.origin, res.direction, alive
 
-    o2, d2, act2 = jax.jit(wave2)(o1, d1, act1)
-    o2.block_until_ready()
+    rays_file = os.environ.get("PROBE_RAYS_FILE", "")
+    if rays_file and os.path.exists(rays_file):
+        # Identical wave-2 rays across ablation configs (an ablated kernel
+        # produces garbage hits -> different scatter -> incomparable waves).
+        z = np.load(rays_file)
+        o2 = jnp.asarray(z["o2"]); d2 = jnp.asarray(z["d2"])
+        act2 = jnp.asarray(z["act2"])
+        print(f"[probe] wave2 rays loaded from {rays_file}", flush=True)
+    else:
+        o2, d2, act2 = jax.jit(wave2)(o1, d1, act1)
+        o2.block_until_ready()
+        if rays_file:
+            np.savez(rays_file, o2=np.asarray(o2), d2=np.asarray(d2),
+                     act2=np.asarray(act2))
+            print(f"[probe] wave2 rays saved to {rays_file}", flush=True)
     live = float(jnp.mean(act2.astype(jnp.float32)))
     print(f"[probe] wave2 live fraction: {live:.3f}", flush=True)
 

@@ -91,6 +91,10 @@ class RenderConfig:
     # windows with alternating VMEM buffers so one window's attr DMA
     # overlaps the other's gathers.
     pallas_rb_prefetch: bool = False
+    # Winner extraction mechanism: 'take' = Mosaic in-tile dynamic gather
+    # (rb_window=1 only; serializes ~per lane), 'onehot' = exact MXU
+    # one-hot contraction (any window width).
+    pallas_rb_gather: str = "take"
 
     # RNG algorithm (reference CPU_RAND_ALGORITHM).
     rng: str = RNG_FAST
@@ -141,6 +145,13 @@ class RenderConfig:
         if rbw not in (1, 2, 4, 8):
             raise ValueError(
                 f"pallas_rb_window must be 1, 2, 4 or 8, got {rbw}"
+            )
+        if self.pallas_rb_gather not in ("take", "onehot"):
+            raise ValueError("pallas_rb_gather must be 'take' or 'onehot'")
+        if rbw > 1 and self.pallas_rb_gather != "onehot":
+            raise ValueError(
+                "pallas_rb_window > 1 requires pallas_rb_gather='onehot' "
+                "(Mosaic's dynamic gather is in-tile / 128 lanes)"
             )
 
     @property

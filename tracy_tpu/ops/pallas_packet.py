@@ -88,16 +88,19 @@ class PallasSceneTables(NamedTuple):
     # by the winner-recompute differentiable intersector (diff/gradients.py)
     # to map the kernel's winner-slot output back to scene.indices rows.
     slot_tri: jnp.ndarray  # [Tpad] i32
-
-    @property
-    def has_uv(self) -> bool:
-        # Static under tracing (shape-derived): 6 rows pad to 8 (no uv),
-        # 12 to 16 (uv), 17 to 24 (uv + tangent).
-        return self.attrs.shape[0] > 8
+    # Static layout flags (NOT shape-derived: packed and flat layouts can
+    # pad to the same row count).
+    has_uv: bool = True
+    has_tangent: bool = False
+    # bf16-pair packing of normal/tangent rows. Required FLAT (False) for
+    # the 'onehot' readback: packed bit patterns can be denormal f32s,
+    # which the MXU contraction flushes to zero (a take_along gather is a
+    # pure permute and preserves bits).
+    packed: bool = True
 
     @property
     def with_tangent(self) -> bool:
-        return self.attrs.shape[0] > 16
+        return self.has_tangent
 
     @property
     def vmem_bytes(self) -> int:
@@ -106,7 +109,8 @@ class PallasSceneTables(NamedTuple):
         return self.node_bounds.size * 4 + self.node_meta.size * 4
 
 
-def build_tables(scene, bvh: PackedBVH, with_tangent: bool) -> PallasSceneTables:
+def build_tables(scene, bvh: PackedBVH, with_tangent: bool,
+                 pack_pairs: bool = True) -> PallasSceneTables:
     """Host-side packing of slot-ordered scene data into kernel planes.
 
     Leaves are REALIGNED: every leaf gets its own 128-slot chunk (partial
@@ -185,7 +189,7 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool) -> PallasSceneTables
     u0, u1, u2 = uv[idx[:, 0]], uv[idx[:, 1]], uv[idx[:, 2]]
     mat = np.asarray(scene.tri_material)[order].astype(np.float32)
 
-    def pack_pairs(vals):
+    def pack_rows(vals):
         """bf16-quantize each plane; pack pairs as (hi<<16)|lo bitcast f32.
         A lone last plane packs against zeros."""
         rows = []
@@ -218,9 +222,13 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool) -> PallasSceneTables
                       [u0[:, 0], u0[:, 1], u1[:, 0], u1[:, 1],
                        u2[:, 0], u2[:, 1]]]
     attr_rows.append(plane(mat))
-    attr_rows += pack_pairs([n0[:, 0], n0[:, 1], n0[:, 2],
-                             n1[:, 0], n1[:, 1], n1[:, 2],
-                             n2[:, 0], n2[:, 1], n2[:, 2]])
+
+    def corner_rows(vals):
+        return pack_rows(vals) if pack_pairs else [plane(v) for v in vals]
+
+    attr_rows += corner_rows([n0[:, 0], n0[:, 1], n0[:, 2],
+                              n1[:, 0], n1[:, 1], n1[:, 2],
+                              n2[:, 0], n2[:, 1], n2[:, 2]])
     if with_tangent and not has_uv:
         # Tangents exist only to orient normal maps, which need uvs; and the
         # shape-derived layout flags require tangent => uv.
@@ -228,10 +236,10 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool) -> PallasSceneTables
     if with_tangent:
         tan = np.asarray(scene.vertex_tangent, np.float32)
         t0, t1c, t2c = tan[idx[:, 0]], tan[idx[:, 1]], tan[idx[:, 2]]
-        attr_rows += pack_pairs([t0[:, 0], t0[:, 1], t0[:, 2],
-                                 t1c[:, 0], t1c[:, 1], t1c[:, 2],
-                                 t2c[:, 0], t2c[:, 1], t2c[:, 2]])
-    attrs = np.stack(attr_rows)  # 6 | 12 | 17 rows -> pad8 to 8 | 16 | 24
+        attr_rows += corner_rows([t0[:, 0], t0[:, 1], t0[:, 2],
+                                  t1c[:, 0], t1c[:, 1], t1c[:, 2],
+                                  t2c[:, 0], t2c[:, 1], t2c[:, 2]])
+    attrs = np.stack(attr_rows)  # packed 6|12|17, flat 10|16|25 (-> pad8)
 
     def pad8(arr):
         # DMA slices require the (sublane) plane dimension to be a multiple
@@ -253,6 +261,9 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool) -> PallasSceneTables
         woop=jnp.asarray(woop),
         attrs=jnp.asarray(attrs),
         slot_tri=jnp.asarray(np.where(valid, order, 0).astype(np.int32)),
+        has_uv=has_uv,
+        has_tangent=with_tangent,
+        packed=pack_pairs,
     )
 
 
@@ -260,7 +271,7 @@ def _kernel(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
             stack_ref, w_s, a_s, a_s2, acc_ref, dma_sems,
             *, stack_depth: int, has_uv: bool, with_tangent: bool,
             num_out: int, packets_per_step: int, rb_window: int,
-            rb_prefetch: bool):
+            rb_prefetch: bool, rb_gather: str, rb_packed: bool):
     """One grid step = `packets_per_step` packets, unrolled with STATIC
     packet indices. Round 1 looped packets with fori and indexed
     rays_ref/out_ref by the traced loop index — a value-level dynamic
@@ -276,13 +287,15 @@ def _kernel(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
                      acc_ref, dma_sems, stack_depth=stack_depth,
                      has_uv=has_uv, with_tangent=with_tangent,
                      num_out=num_out, rb_window=rb_window,
-                     rb_prefetch=rb_prefetch)
+                     rb_prefetch=rb_prefetch, rb_gather=rb_gather,
+                     rb_packed=rb_packed)
 
 
 def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
                  pkt, stack_ref, w_s, a_s, a_s2, acc_ref, dma_sems,
                  *, stack_depth: int, has_uv: bool, with_tangent: bool,
-                 num_out: int, rb_window: int, rb_prefetch: bool):
+                 num_out: int, rb_window: int, rb_prefetch: bool,
+                 rb_gather: str, rb_packed: bool):
     ox = rays[0]
     oy = rays[1]
     oz = rays[2]
@@ -526,14 +539,49 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
         def resolve(buf, sel, gidx, u_sel, v_sel):
             """Gathers + interpolation + output selects for one window."""
             if "nogather2" in _ABLATE:
-                def pick(k):
+                def pick(k):  # row broadcast, no dynamic gather (perf probe)
                     return jnp.broadcast_to(
-                        buf[k, 0:1].reshape(1, 1), (8, 128)
-                    ) + 0.0 * acc_ref[1]
+                        buf[k, :].reshape(1, WW)[:, :128], (8, 128)
+                    )
+            elif rb_gather == "onehot":
+                # Exact winner extraction as ONE MXU contraction per ray-row:
+                # vals[k, l] = sum_s buf[k, s] * onehot[s, l]. The one-hot is
+                # exact in bf16 (0.0/1.0) and precision=HIGHEST decomposes
+                # the f32 table exactly (bf16x3), so this IS a gather — for
+                # ANY window width (Mosaic's tpu.dynamic_gather is an
+                # in-tile permute, 128 lanes max, and serializes ~per lane).
+                nrows = buf.shape[0]
+                iota_w = jax.lax.broadcasted_iota(jnp.int32, (WW, 128), 0)
+                planes = [jnp.zeros((8, 128), jnp.float32)
+                          for _ in range(nrows)]
+                for r in range(8):
+                    r_mask = jax.lax.broadcasted_iota(
+                        jnp.int32, (8, 1), 0) == r
+                    gidx_r = jnp.sum(jnp.where(r_mask, gidx, 0), axis=0)
+                    oh = (iota_w == gidx_r[None, :]).astype(jnp.float32)
+                    vals = jax.lax.dot_general(
+                        buf[:, :], oh,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )  # [nrows, 128]
+                    for k in range(nrows):
+                        planes[k] = jnp.where(
+                            r_mask, vals[k:k + 1, :], planes[k]
+                        )
+
+                def pick(k):
+                    return planes[k]
             else:
                 def pick(k):
                     w = jnp.broadcast_to(buf[k, :].reshape(1, WW), (8, WW))
-                    return jnp.take_along_axis(w, gidx, axis=1)
+                    if WW == 128:
+                        return jnp.take_along_axis(w, gidx, axis=1)
+                    # Mosaic's dynamic_gather is in-tile only: route >128-
+                    # lane windows through the onehot mode instead.
+                    raise NotImplementedError(
+                        "rb_window > 1 requires rb_gather='onehot'"
+                    )
 
             def pick_pair(base, j):
                 # packed bf16 pair row: component j of a 9-list packed at
@@ -552,17 +600,23 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
             def put(idx, val):
                 acc_ref[idx] = jnp.where(sel, val, acc_ref[idx])
 
-            # Fused rows: [uv corners 0..5 when has_uv,] mat, normal pairs
-            # [, tangent pairs]. Offsets are static per layout.
+            # Fused rows: [uv corners 0..5 when has_uv,] mat, normal
+            # corners [, tangent corners] — bf16 pairs (packed) or plain
+            # f32 rows (flat). Offsets are static per layout.
             mat_row = 6 if has_uv else 0
             n_base = mat_row + 1
-            t_base = n_base + 5
+            t_base = n_base + (5 if rb_packed else 9)
+
+            def corner_val(base, j):
+                # j = corner*3 + component in the 9-value corner list.
+                return pick_pair(base, j) if rb_packed else pick(base + j)
+
             if "noput2" not in _ABLATE:
                 k_out = 4
-                for comp in range(3):  # normal xyz (packed bf16 pairs)
-                    put(k_out, w_sel * pick_pair(n_base, comp)
-                        + u_sel * pick_pair(n_base, 3 + comp)
-                        + v_sel * pick_pair(n_base, 6 + comp))
+                for comp in range(3):  # normal xyz
+                    put(k_out, w_sel * corner_val(n_base, comp)
+                        + u_sel * corner_val(n_base, 3 + comp)
+                        + v_sel * corner_val(n_base, 6 + comp))
                     k_out += 1
                 if has_uv:
                     for comp in range(2):  # uv (f32 rows)
@@ -571,15 +625,16 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
                         k_out += 1
                 put(k_out, pick(mat_row))  # material id
                 k_out += 1
-                if with_tangent:  # tangent xyz (packed bf16 pairs)
+                if with_tangent:  # tangent xyz
                     for comp in range(3):
-                        put(k_out, w_sel * pick_pair(t_base, comp)
-                            + u_sel * pick_pair(t_base, 3 + comp)
-                            + v_sel * pick_pair(t_base, 6 + comp))
+                        put(k_out, w_sel * corner_val(t_base, comp)
+                            + u_sel * corner_val(t_base, 3 + comp)
+                            + v_sel * corner_val(t_base, 6 + comp))
                         k_out += 1
 
         if not rb_prefetch:
-            def rb_body(cur):
+            def rb_body(carry):
+                cur, n = carry
                 win_base, sel, gidx = win_of(cur)
                 cp_a = pltpu.make_async_copy(
                     attr_ref.at[:, pl.ds(win_base, WW)], a_s, dma_sems.at[1])
@@ -589,9 +644,17 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
                 resolve(a_s, sel, gidx, acc_ref[2], acc_ref[3])
                 # mark processed; advance to the next distinct chunk.
                 acc_ref[0] = jnp.where(sel, jnp.float32(-2.0), acc_ref[0])
-                return next_chunk()
+                return next_chunk(), n + 1
 
-            jax.lax.while_loop(rb_cond, rb_body, next_chunk())
+            _, rb_n = jax.lax.while_loop(
+                lambda c: rb_cond(c[0]), rb_body, (next_chunk(), jnp.int32(0))
+            )
+            if "countrb" in _ABLATE:
+                # Perf probe: overwrite the t plane with this packet's
+                # readback iteration count (results wrong by design).
+                out_ref[pkt, 0] = jnp.full((8, 128), 1.0) * rb_n.astype(
+                    jnp.float32
+                )
         else:
             # Software-pipelined: each iteration handles TWO windows with
             # alternating buffers — window B's DMA overlaps window A's
@@ -630,7 +693,8 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
 
             jax.lax.while_loop(rb_cond, rb_body, next_chunk())
 
-    out_ref[pkt, 0] = t_final  # t (BIG/-BIG = miss)
+    if "countrb" not in _ABLATE:
+        out_ref[pkt, 0] = t_final  # t (BIG/-BIG = miss)
     if "noout" not in _ABLATE:
         for k in range(2 + num_out):
             out_ref[pkt, 1 + k] = acc_ref[2 + k]
@@ -645,7 +709,7 @@ def pallas_intersect(
     origin, direction, active, tables: PallasSceneTables,
     stack_depth: int = 64, interpret: bool = False,
     packets_per_step: int = 2, return_slot: bool = False,
-    rb_window: int = 1, rb_prefetch: bool = False,
+    rb_window: int = 1, rb_prefetch: bool = False, rb_gather: str = "take",
 ):
     """Full wavefront intersection via the Pallas kernel.
 
@@ -672,6 +736,12 @@ def pallas_intersect(
     )  # [k, 7, 8, 128]
 
     huv = tables.has_uv
+    if rb_gather == "onehot" and tables.packed:
+        raise ValueError(
+            "rb_gather='onehot' needs flat tables "
+            "(build_tables(pack_pairs=False)): packed bf16-pair bit "
+            "patterns can be denormal f32s, which the MXU flushes"
+        )
     na = _num_out_attrs(huv, wt)
     out_planes = 4 + na  # t, u, v, attrs, winner slot
     pps = min(packets_per_step, k)
@@ -682,7 +752,8 @@ def pallas_intersect(
     kernel = functools.partial(
         _kernel, stack_depth=stack_depth, has_uv=huv, with_tangent=wt,
         num_out=na, packets_per_step=pps, rb_window=rb_window,
-        rb_prefetch=rb_prefetch,
+        rb_prefetch=rb_prefetch, rb_gather=rb_gather,
+        rb_packed=tables.packed,
     )
 
     def kernel_wrap(nb, nm, woop, attrs, rays_blk, out_blk,
@@ -778,14 +849,15 @@ def nondiff_intersector(intersect):
         return intersect(origin, direction, active)
 
     def fwd(origin, direction, active):
-        return f(origin, direction, active), (
-            origin.shape, origin.dtype, active.shape
-        )
+        # No residuals: shapes/dtypes are NOT valid jit residuals, and the
+        # ray count is recoverable from the hit-t cotangent in bwd.
+        return f(origin, direction, active), None
 
-    def bwd(res, _ct):
-        oshape, odtype, ashape = res
-        zero = jnp.zeros(oshape, odtype)
-        zero_act = np.zeros(ashape, jax.dtypes.float0)
+    def bwd(_res, ct):
+        hit_ct = ct[0]
+        n = hit_ct.t.shape[0]
+        zero = jnp.zeros((n, 3), hit_ct.t.dtype)
+        zero_act = np.zeros((n,), jax.dtypes.float0)
         return (zero, zero, zero_act)
 
     f.defvjp(fwd, bwd)
@@ -796,11 +868,13 @@ def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,
                             stack_depth: int = 64, interpret: bool = False,
                             vmem_limit_bytes: int = 12 * 1024 * 1024,
                             return_slot: bool = False, rb_window: int = 1,
-                            rb_prefetch: bool = False):
+                            rb_prefetch: bool = False,
+                            rb_gather: str = "take"):
     """Rich IntersectFn backed by the Pallas kernel, or None if the scene
     doesn't fit the VMEM budget. The returned function carries its
     PallasSceneTables as `.tables` (slot_tri maps winner slots to tris)."""
-    tables = build_tables(scene, bvh, with_tangent)
+    tables = build_tables(scene, bvh, with_tangent,
+                          pack_pairs=(rb_gather != "onehot"))
     if tables.vmem_bytes > vmem_limit_bytes:
         return None
 
@@ -808,7 +882,7 @@ def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,
         return pallas_intersect(origin, direction, act, tables,
                                 stack_depth=stack_depth, interpret=interpret,
                                 return_slot=return_slot, rb_window=rb_window,
-                                rb_prefetch=rb_prefetch)
+                                rb_prefetch=rb_prefetch, rb_gather=rb_gather)
 
     intersect.tables = tables
     return intersect

@@ -271,7 +271,10 @@ class Renderer:
                     scene, leaf_size=self.cfg.pallas_leaf_size,
                     max_depth=max(self.cfg.traversal_stack_depth - 4, 8),
                 )
-                cand = build_tables(scene, bvh, with_tangent)
+                cand = build_tables(
+                    scene, bvh, with_tangent,
+                    pack_pairs=(self.cfg.pallas_rb_gather != "onehot"),
+                )
                 if cand.vmem_bytes <= 8 * 1024 * 1024:  # node tables (VMEM)
                     tables = cand
                 else:
@@ -295,6 +298,7 @@ class Renderer:
                 pps = self.cfg.pallas_packets_per_step
                 rbw = self.cfg.pallas_rb_window
                 rbp = self.cfg.pallas_rb_prefetch
+                rbg = self.cfg.pallas_rb_gather
                 self._accel_data = tables
 
                 def bind(sc, acc):
@@ -302,7 +306,7 @@ class Renderer:
                         lambda o, d, act: pallas_intersect(
                             o, d, act, acc, stack_depth=depth,
                             packets_per_step=pps, rb_window=rbw,
-                            rb_prefetch=rbp,
+                            rb_prefetch=rbp, rb_gather=rbg,
                         )
                     )
 
