@@ -74,7 +74,9 @@ def main() -> int:
         cfg = RenderConfig(width=w, height=h, spp=1, accel="packet",
                            pallas_leaf_size=LEAF, wave_compact_group=grp,
                            pallas_packets_per_step=2,
-                           pallas_rb_window=int(os.environ.get("PROBE_RBW", 1)))
+                           pallas_rb_window=int(os.environ.get("PROBE_RBW", 1)),
+                           pallas_rb_gather=os.environ.get("PROBE_RBG", "take"),
+                           pallas_rb_prefetch=os.environ.get("PROBE_RBP", "0") == "1")
         r = Renderer(cfg)
         st = init_state(cfg)
         t0 = time.perf_counter()
