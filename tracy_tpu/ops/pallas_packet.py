@@ -34,6 +34,7 @@ triangle. Interpret mode works on CPU for correctness tests.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import os
 from typing import NamedTuple, Tuple
@@ -70,8 +71,14 @@ EPS = float(tm.EPS)
 BIG = 3.4028235e38
 
 
-class PallasSceneTables(NamedTuple):
-    """VMEM-resident scene: everything the kernel needs, as flat planes."""
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class PallasSceneTables:
+    """VMEM-resident scene: everything the kernel needs, as flat planes.
+
+    A registered pytree whose layout flags are STATIC aux data — the
+    tables flow through jit as arguments (Renderer passes them as the
+    step's accel operand), and NamedTuple fields would get traced."""
 
     node_bounds: jnp.ndarray  # [Nn, 8] f32
     node_meta: jnp.ndarray  # [Nn, 4] i32
@@ -97,6 +104,17 @@ class PallasSceneTables(NamedTuple):
     # which the MXU contraction flushes to zero (a take_along gather is a
     # pure permute and preserves bits).
     packed: bool = True
+
+    def tree_flatten(self):
+        return (
+            (self.node_bounds, self.node_meta, self.woop, self.attrs,
+             self.slot_tri),
+            (self.has_uv, self.has_tangent, self.packed),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
 
     @property
     def with_tangent(self) -> bool:
