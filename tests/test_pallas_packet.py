@@ -97,13 +97,16 @@ def test_pallas_slim_untextured():
 @pytest.mark.parametrize("rb_window", [2, 8])
 def test_pallas_rb_window(rb_window):
     """Windowed winner readback (rb_window adjacent chunks per phase-2
-    iteration) is bit-compatible with the per-chunk default."""
+    iteration; onehot gather — Mosaic's dynamic gather is in-tile-only)
+    matches the per-chunk default."""
     scene = default_scene(32, 24).build()
     bvh, _ = build_packet_bvh(scene, leaf_size=64)
     i1 = make_pallas_intersector(scene, bvh, with_tangent=False,
-                                 interpret=True, rb_window=1)
+                                 interpret=True, rb_window=1,
+                                 rb_gather="onehot")
     iw = make_pallas_intersector(scene, bvh, with_tangent=False,
-                                 interpret=True, rb_window=rb_window)
+                                 interpret=True, rb_window=rb_window,
+                                 rb_gather="onehot")
     o, d = _rays_for(scene, 2048, seed=3)
     act = jnp.ones(2048, bool)
     h1, a1 = i1(o, d, act)
@@ -125,11 +128,13 @@ def test_pallas_rb_prefetch(rb_window):
     restructured expressions may compile with different fma association)."""
     scene = default_scene(32, 24).build()
     bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    gather = "onehot" if rb_window > 1 else "take"
     i1 = make_pallas_intersector(scene, bvh, with_tangent=False,
-                                 interpret=True, rb_window=rb_window)
+                                 interpret=True, rb_window=rb_window,
+                                 rb_gather=gather)
     ip = make_pallas_intersector(scene, bvh, with_tangent=False,
                                  interpret=True, rb_window=rb_window,
-                                 rb_prefetch=True)
+                                 rb_prefetch=True, rb_gather=gather)
     o, d = _rays_for(scene, 3072, seed=5)
     act = jnp.ones(3072, bool)
     h1, a1 = i1(o, d, act)
