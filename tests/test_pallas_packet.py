@@ -202,3 +202,54 @@ def test_pallas_dragon_primaries(reference_data_root):
     assert (mx == mp).mean() >= 0.998
     m = mx & mp
     np.testing.assert_allclose(np.asarray(hp.t)[m], np.asarray(hx.t)[m], rtol=1e-5)
+
+
+@pytest.mark.parametrize("textured", [False, True])
+def test_pallas_rb_list(textured):
+    """The list-mode readback (traversal-recorded SMEM chunk list, counter-
+    bounded fori) must be bit-identical to the min-extract loop: both
+    resolve the same final winner from the same tables."""
+    b = default_scene(32, 24)
+    if textured:
+        tex = b.add_texture(np.full((4, 4, 4), 0.5, np.float32))
+        b.set_material_texture(1, 0, tex)
+    scene = b.build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    i1 = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True)
+    il = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_mode="list")
+    o, d = _rays_for(scene, 3072, seed=11)
+    act = jnp.ones(3072, bool)
+    h1, a1 = i1(o, d, act)
+    hl, al = il(o, d, act)
+    np.testing.assert_array_equal(np.asarray(h1.mask), np.asarray(hl.mask))
+    np.testing.assert_array_equal(np.asarray(h1.t), np.asarray(hl.t))
+    np.testing.assert_array_equal(np.asarray(h1.uv), np.asarray(hl.uv))
+    np.testing.assert_array_equal(np.asarray(a1.normal), np.asarray(al.normal))
+    np.testing.assert_array_equal(np.asarray(a1.uv), np.asarray(al.uv))
+    np.testing.assert_array_equal(np.asarray(a1.material),
+                                  np.asarray(al.material))
+
+
+def test_pallas_rb_list_overflow(monkeypatch):
+    """With a tiny LIST_CAP the overflow flag trips and the min-extract
+    fallback must still resolve every winner exactly."""
+    import tracy_tpu.ops.pallas_packet as pp
+
+    scene = default_scene(32, 24).build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    i1 = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True)
+    monkeypatch.setattr(pp, "LIST_CAP", 2)
+    il = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_mode="list")
+    o, d = _rays_for(scene, 2048, seed=13)
+    act = jnp.ones(2048, bool)
+    h1, a1 = i1(o, d, act)
+    hl, al = il(o, d, act)
+    np.testing.assert_array_equal(np.asarray(h1.mask), np.asarray(hl.mask))
+    np.testing.assert_array_equal(np.asarray(h1.t), np.asarray(hl.t))
+    np.testing.assert_array_equal(np.asarray(a1.normal), np.asarray(al.normal))
+    np.testing.assert_array_equal(np.asarray(a1.material),
+                                  np.asarray(al.material))

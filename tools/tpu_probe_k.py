@@ -75,7 +75,8 @@ def main() -> int:
         hit, _ = jax.jit(
             lambda oo, dd, aa: pallas_intersect(
                 oo, dd, aa, tables, packets_per_step=2, rb_window=RBW,
-                rb_gather=os.environ.get("PROBE_RBG", "take"))
+                rb_gather=os.environ.get("PROBE_RBG", "take"),
+                rb_mode=os.environ.get("PROBE_RBM", "minloop"))
         )(o, d, act)
         # countrb writes K into every lane of the t plane.
         k_per_packet = np.asarray(hit.t).reshape(-1, 1024)[:, 0]

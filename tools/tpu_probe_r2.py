@@ -24,6 +24,7 @@ REPS = int(os.environ.get("PROBE_REPS", 8))
 RBW = int(os.environ.get("PROBE_RBW", 1))
 RBP = os.environ.get("PROBE_RBP", "0") == "1"
 RBG = os.environ.get("PROBE_RBG", "take")
+RBM = os.environ.get("PROBE_RBM", "minloop")
 LEAF = int(os.environ.get("PROBE_LEAF", 64))
 PPS_LIST = tuple(int(x) for x in os.environ.get("PROBE_PPS", "4,8,16,32").split(","))
 SKIP_C = os.environ.get("PROBE_SKIP_C", "0") == "1"
@@ -93,7 +94,7 @@ def main() -> int:
                 hit, at = pallas_intersect(oo, d, act, tables,
                                            packets_per_step=pps,
                                            rb_window=RBW, rb_prefetch=RBP,
-                                           rb_gather=RBG)
+                                           rb_gather=RBG, rb_mode=RBM)
                 return s + jnp.sum(hit.t
                                    * 0.0) + jnp.sum(jnp.where(hit.mask, 1.0, 0.0)), hit.t[0]
             return jax.lax.fori_loop(0, reps, body, (jnp.float32(0), jnp.float32(0)))
@@ -123,7 +124,8 @@ def main() -> int:
 
     def wave2(o, d, act):
         hit, attrs = pallas_intersect(o, d, act, tables, rb_window=RBW,
-                                      rb_prefetch=RBP, rb_gather=RBG)
+                                      rb_prefetch=RBP, rb_gather=RBG,
+                                      rb_mode=RBM)
         params = mtl.gather_surface_params(scene, attrs.material, attrs.uv,
                                            attrs.normal, attrs.tangent)
         r1 = rng.uniform(pixf, jnp.uint32(0), 0, DRAW_SPHERE_Z)

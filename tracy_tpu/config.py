@@ -95,6 +95,13 @@ class RenderConfig:
     # (rb_window=1 only; serializes ~per lane), 'onehot' = exact MXU
     # one-hot contraction (any window width).
     pallas_rb_gather: str = "take"
+    # Phase-2 loop structure: 'minloop' extracts the next distinct winning
+    # chunk per iteration (vector->scalar min + mask: a serial chain that
+    # measures ~7us/iteration on v5e regardless of body work); 'list'
+    # records improving leaf chunks in an SMEM list during traversal and
+    # resolves them in a counter-bounded fori (control never touches
+    # vector state). 'list' requires rb_window=1 and no prefetch.
+    pallas_rb_mode: str = "minloop"
 
     # RNG algorithm (reference CPU_RAND_ALGORITHM).
     rng: str = RNG_FAST
@@ -152,6 +159,17 @@ class RenderConfig:
             raise ValueError(
                 "pallas_rb_window > 1 requires pallas_rb_gather='onehot' "
                 "(Mosaic's dynamic gather is in-tile / 128 lanes)"
+            )
+        if self.pallas_rb_mode not in ("minloop", "list"):
+            raise ValueError(
+                "pallas_rb_mode must be 'minloop' or 'list', got "
+                f"{self.pallas_rb_mode!r}"
+            )
+        if self.pallas_rb_mode == "list" and (rbw != 1 or
+                                              self.pallas_rb_prefetch):
+            raise ValueError(
+                "pallas_rb_mode='list' requires pallas_rb_window=1 and "
+                "pallas_rb_prefetch=False"
             )
 
     @property

@@ -197,7 +197,7 @@ def make_training_intersector(scene: SceneArrays, cfg: RenderConfig,
             base = make_pallas_intersector(
                 scene, bvh, with_tangent=True,
                 stack_depth=cfg.traversal_stack_depth, interpret=interpret,
-                return_slot=True,
+                return_slot=True, rb_mode=cfg.pallas_rb_mode,
             )
             if base is not None:
                 return GeometryDiffIntersector(
@@ -219,6 +219,7 @@ def make_training_intersector(scene: SceneArrays, cfg: RenderConfig,
         isect = make_pallas_intersector(
             scene, bvh, with_tangent=True,
             stack_depth=cfg.traversal_stack_depth, interpret=interpret,
+            rb_mode=cfg.pallas_rb_mode,
         )
         if isect is not None:
             return nondiff_intersector(isect)

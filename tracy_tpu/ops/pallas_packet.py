@@ -67,6 +67,10 @@ _ABLATE = frozenset(
 LEAF = 128  # static leaf window; every leaf owns an ALIGNED 128-slot chunk
 # (Mosaic vector loads from the lane dimension must be 128-aligned)
 PACKET = 1024  # rays per packet: [8, 128]
+# rb_mode='list' chunk-list capacity (SMEM i32 entries per packet). Sized
+# above the worst measured improving-leaf-visit count; overflow falls back
+# to the min-extract loop (correct, just slower).
+LIST_CAP = 510
 EPS = float(tm.EPS)
 BIG = 3.4028235e38
 
@@ -286,10 +290,11 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool,
 
 
 def _kernel(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
-            stack_ref, w_s, a_s, a_s2, acc_ref, dma_sems,
+            stack_ref, w_s, a_s, a_s2, acc_ref, rbl_ref, dma_sems,
             *, stack_depth: int, has_uv: bool, with_tangent: bool,
             num_out: int, packets_per_step: int, rb_window: int,
-            rb_prefetch: bool, rb_gather: str, rb_packed: bool):
+            rb_prefetch: bool, rb_gather: str, rb_packed: bool,
+            rb_mode: str):
     """One grid step = `packets_per_step` packets, unrolled with STATIC
     packet indices. Round 1 looped packets with fori and indexed
     rays_ref/out_ref by the traced loop index — a value-level dynamic
@@ -302,18 +307,18 @@ def _kernel(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
         ray_block = rays_ref[pkt]  # [7, 8, 128] — static index
         _packet_body(nb_ref, nm_ref, woop_ref, attr_ref,
                      ray_block, out_ref, pkt, stack_ref, w_s, a_s, a_s2,
-                     acc_ref, dma_sems, stack_depth=stack_depth,
+                     acc_ref, rbl_ref, dma_sems, stack_depth=stack_depth,
                      has_uv=has_uv, with_tangent=with_tangent,
                      num_out=num_out, rb_window=rb_window,
                      rb_prefetch=rb_prefetch, rb_gather=rb_gather,
-                     rb_packed=rb_packed)
+                     rb_packed=rb_packed, rb_mode=rb_mode)
 
 
 def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
-                 pkt, stack_ref, w_s, a_s, a_s2, acc_ref, dma_sems,
+                 pkt, stack_ref, w_s, a_s, a_s2, acc_ref, rbl_ref, dma_sems,
                  *, stack_depth: int, has_uv: bool, with_tangent: bool,
                  num_out: int, rb_window: int, rb_prefetch: bool,
-                 rb_gather: str, rb_packed: bool):
+                 rb_gather: str, rb_packed: bool, rb_mode: str):
     ox = rays[0]
     oy = rays[1]
     oz = rays[2]
@@ -331,6 +336,9 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
     ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
     stack_ref[0] = 0
+    if rb_mode == "list":
+        rbl_ref[0] = 0  # chunk-list count
+        rbl_ref[1] = 0  # overflow flag
 
     # Slim while-loop carry: (sp, best_t) ONLY. Traversal records just the
     # per-ray WINNER (chunk base + in-chunk slot) in VMEM scratch planes;
@@ -508,6 +516,29 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
             acc_ref[1] = jnp.where(imp, cand_idx.astype(jnp.float32), acc_ref[1])
             acc_ref[2] = jnp.where(imp, cand_u, acc_ref[2])
             acc_ref[3] = jnp.where(imp, cand_v, acc_ref[3])
+            if rb_mode == "list":
+                # Append this chunk to the phase-2 candidate list when the
+                # visit improved any lane (scalar SMEM ops, consecutive-dup
+                # suppressed). The final winner chunk of every lane is the
+                # chunk of its LAST improving visit, so (absent overflow)
+                # the list is a superset of the distinct winner chunks —
+                # phase 2 then runs as a counter-bounded fori with NO
+                # vector->scalar extraction in its control path (the
+                # min-extract loop's serial chain measured ~7us/iteration).
+                imp_any = jnp.max(imp.astype(jnp.int32))
+                kk = rbl_ref[0]
+                prev = rbl_ref[kk + 1]  # entry kk-1 (rbl_ref[1]=ovf if kk==0)
+                dup = jnp.logical_and(kk > 0, prev == chunk_base)
+                want = jnp.logical_and(imp_any > 0, jnp.logical_not(dup))
+
+                @pl.when(jnp.logical_and(want, kk < LIST_CAP))
+                def _():
+                    rbl_ref[kk + 2] = chunk_base
+                    rbl_ref[0] = kk + 1
+
+                @pl.when(jnp.logical_and(want, kk >= LIST_CAP))
+                def _():
+                    rbl_ref[1] = 1
             return (sp_in, jnp.where(imp, cand_t, bt))
 
         return jax.lax.cond(is_leaf, leaf_case, inner_case, sp, c[1])
@@ -650,7 +681,12 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
                             + v_sel * corner_val(t_base, 6 + comp))
                         k_out += 1
 
-        if not rb_prefetch:
+        def minloop():
+            """Min-extract loop: one iteration per distinct winning window,
+            each extracting the smallest unprocessed chunk base by a
+            vector->scalar min and masking it processed. The write->reduce->
+            branch chain costs ~7us/iteration on v5e regardless of the
+            body's DMA/gather/put work (all ablate to ~0)."""
             def rb_body(carry):
                 cur, n = carry
                 win_base, sel, gidx = win_of(cur)
@@ -667,6 +703,42 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
             _, rb_n = jax.lax.while_loop(
                 lambda c: rb_cond(c[0]), rb_body, (next_chunk(), jnp.int32(0))
             )
+            return rb_n
+
+        if rb_mode == "list":
+            # Counter-bounded fori over the traversal-recorded chunk list:
+            # loop control depends only on a scalar SMEM counter, never on
+            # vector state. Chunks may appear more than once (improved-then-
+            # overwritten, non-consecutive revisits) — reprocessing is
+            # idempotent (where-blend puts select on the FINAL winner).
+            kk = rbl_ref[0]
+
+            def list_body(i, carry):
+                base = pl.multiple_of(rbl_ref[i + 2], LEAF)
+                cp_a = pltpu.make_async_copy(
+                    attr_ref.at[:, pl.ds(base, LEAF)], a_s, dma_sems.at[1])
+                if "nodma2" not in _ABLATE:
+                    cp_a.start()
+                    cp_a.wait()
+                sel = acc_ref[0] == base.astype(jnp.float32)
+                gidx = jnp.clip(acc_ref[1].astype(jnp.int32), 0, LEAF - 1)
+                resolve(a_s, sel, gidx, acc_ref[2], acc_ref[3])
+                return carry
+
+            jax.lax.fori_loop(0, kk, list_body, jnp.int32(0))
+
+            # Overflow: the list is incomplete — resolve ALL winners with
+            # the min-extract loop (reprocessing listed chunks is a no-op).
+            @pl.when(rbl_ref[1] > 0)
+            def _():
+                minloop()
+
+            if "countrb" in _ABLATE:
+                out_ref[pkt, 0] = jnp.full((8, 128), 1.0) * (
+                    kk + 1000 * rbl_ref[1]
+                ).astype(jnp.float32)
+        elif not rb_prefetch:
+            rb_n = minloop()
             if "countrb" in _ABLATE:
                 # Perf probe: overwrite the t plane with this packet's
                 # readback iteration count (results wrong by design).
@@ -728,6 +800,7 @@ def pallas_intersect(
     stack_depth: int = 64, interpret: bool = False,
     packets_per_step: int = 2, return_slot: bool = False,
     rb_window: int = 1, rb_prefetch: bool = False, rb_gather: str = "take",
+    rb_mode: str = "minloop",
 ):
     """Full wavefront intersection via the Pallas kernel.
 
@@ -760,6 +833,13 @@ def pallas_intersect(
             "(build_tables(pack_pairs=False)): packed bf16-pair bit "
             "patterns can be denormal f32s, which the MXU flushes"
         )
+    if rb_mode not in ("minloop", "list"):
+        raise ValueError(f"rb_mode must be 'minloop' or 'list', got {rb_mode!r}")
+    if rb_mode == "list" and (rb_window != 1 or rb_prefetch):
+        raise ValueError(
+            "rb_mode='list' resolves one 128-slot chunk per list entry: "
+            "requires rb_window=1 and rb_prefetch=False"
+        )
     na = _num_out_attrs(huv, wt)
     out_planes = 4 + na  # t, u, v, attrs, winner slot
     pps = min(packets_per_step, k)
@@ -771,13 +851,13 @@ def pallas_intersect(
         _kernel, stack_depth=stack_depth, has_uv=huv, with_tangent=wt,
         num_out=na, packets_per_step=pps, rb_window=rb_window,
         rb_prefetch=rb_prefetch, rb_gather=rb_gather,
-        rb_packed=tables.packed,
+        rb_packed=tables.packed, rb_mode=rb_mode,
     )
 
     def kernel_wrap(nb, nm, woop, attrs, rays_blk, out_blk,
-                    stack, w_s, a_s, a_s2, acc, sems):
+                    stack, w_s, a_s, a_s2, acc, rbl, sems):
         kernel(nb, nm, woop, attrs, rays_blk, out_blk,
-               stack, w_s, a_s, a_s2, acc, sems)
+               stack, w_s, a_s, a_s2, acc, rbl, sems)
 
     out = pl.pallas_call(
         kernel_wrap,
@@ -807,6 +887,7 @@ def pallas_intersect(
             pltpu.VMEM((tables.attrs.shape[0], rb_window * LEAF),
                        jnp.float32),
             pltpu.VMEM((4 + na, 8, 128), jnp.float32),
+            pltpu.SMEM((LIST_CAP + 2,), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
@@ -887,7 +968,8 @@ def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,
                             vmem_limit_bytes: int = 12 * 1024 * 1024,
                             return_slot: bool = False, rb_window: int = 1,
                             rb_prefetch: bool = False,
-                            rb_gather: str = "take"):
+                            rb_gather: str = "take",
+                            rb_mode: str = "minloop"):
     """Rich IntersectFn backed by the Pallas kernel, or None if the scene
     doesn't fit the VMEM budget. The returned function carries its
     PallasSceneTables as `.tables` (slot_tri maps winner slots to tris)."""
@@ -900,7 +982,8 @@ def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,
         return pallas_intersect(origin, direction, act, tables,
                                 stack_depth=stack_depth, interpret=interpret,
                                 return_slot=return_slot, rb_window=rb_window,
-                                rb_prefetch=rb_prefetch, rb_gather=rb_gather)
+                                rb_prefetch=rb_prefetch, rb_gather=rb_gather,
+                                rb_mode=rb_mode)
 
     intersect.tables = tables
     return intersect

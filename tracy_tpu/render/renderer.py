@@ -299,6 +299,7 @@ class Renderer:
                 rbw = self.cfg.pallas_rb_window
                 rbp = self.cfg.pallas_rb_prefetch
                 rbg = self.cfg.pallas_rb_gather
+                rbm = self.cfg.pallas_rb_mode
                 self._accel_data = tables
 
                 def bind(sc, acc):
@@ -306,7 +307,7 @@ class Renderer:
                         lambda o, d, act: pallas_intersect(
                             o, d, act, acc, stack_depth=depth,
                             packets_per_step=pps, rb_window=rbw,
-                            rb_prefetch=rbp, rb_gather=rbg,
+                            rb_prefetch=rbp, rb_gather=rbg, rb_mode=rbm,
                         )
                     )
 
