@@ -117,6 +117,7 @@ def main():
         pallas_rb_window=int(os.environ.get("TRACY_BENCH_RBW", 1)),
         pallas_rb_prefetch=os.environ.get("TRACY_BENCH_RBP", "0") == "1",
         pallas_rb_gather=os.environ.get("TRACY_BENCH_RBG", "take"),
+        pallas_rb_mode=os.environ.get("TRACY_BENCH_RBM", "minloop"),
     )
     r = Renderer(cfg)
     state = init_state(cfg)
