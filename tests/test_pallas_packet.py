@@ -232,6 +232,69 @@ def test_pallas_rb_list(textured):
                                   np.asarray(al.material))
 
 
+@pytest.mark.parametrize("textured", [False, True])
+def test_pallas_rb_arena(textured):
+    """The arena-mode readback (batched all-in-flight chunk DMAs + static
+    unrolled resolve over per-ray entry stamps) must be bit-identical to
+    the min-extract loop."""
+    b = default_scene(32, 24)
+    if textured:
+        tex = b.add_texture(np.full((4, 4, 4), 0.5, np.float32))
+        b.set_material_texture(1, 0, tex)
+    scene = b.build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    i1 = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True)
+    ia = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_mode="arena")
+    o, d = _rays_for(scene, 3072, seed=11)
+    act = jnp.ones(3072, bool)
+    h1, a1 = i1(o, d, act)
+    ha, aa = ia(o, d, act)
+    np.testing.assert_array_equal(np.asarray(h1.mask), np.asarray(ha.mask))
+    np.testing.assert_array_equal(np.asarray(h1.t), np.asarray(ha.t))
+    np.testing.assert_array_equal(np.asarray(h1.uv), np.asarray(ha.uv))
+    np.testing.assert_array_equal(np.asarray(a1.normal), np.asarray(aa.normal))
+    np.testing.assert_array_equal(np.asarray(a1.uv), np.asarray(aa.uv))
+    np.testing.assert_array_equal(np.asarray(a1.material),
+                                  np.asarray(aa.material))
+
+
+def test_pallas_rb_arena_multibatch_and_overflow(monkeypatch):
+    """ARENA_BATCH=2 forces multiple arena batches per packet; LIST_CAP=6
+    additionally trips the overflow fallback. Both must resolve every
+    winner exactly."""
+    import tracy_tpu.ops.pallas_packet as pp
+
+    scene = default_scene(32, 24).build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    i1 = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True)
+    o, d = _rays_for(scene, 2048, seed=13)
+    act = jnp.ones(2048, bool)
+    h1, a1 = i1(o, d, act)
+
+    monkeypatch.setattr(pp, "ARENA_BATCH", 2)
+    ia = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_mode="arena")
+    ha, aa = ia(o, d, act)
+    np.testing.assert_array_equal(np.asarray(h1.mask), np.asarray(ha.mask))
+    np.testing.assert_array_equal(np.asarray(h1.t), np.asarray(ha.t))
+    np.testing.assert_array_equal(np.asarray(a1.normal), np.asarray(aa.normal))
+    np.testing.assert_array_equal(np.asarray(a1.material),
+                                  np.asarray(aa.material))
+
+    monkeypatch.setattr(pp, "LIST_CAP", 6)
+    io = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_mode="arena")
+    ho, ao = io(o, d, act)
+    np.testing.assert_array_equal(np.asarray(h1.mask), np.asarray(ho.mask))
+    np.testing.assert_array_equal(np.asarray(h1.t), np.asarray(ho.t))
+    np.testing.assert_array_equal(np.asarray(a1.normal), np.asarray(ao.normal))
+    np.testing.assert_array_equal(np.asarray(a1.material),
+                                  np.asarray(ao.material))
+
+
 def test_pallas_rb_list_overflow(monkeypatch):
     """With a tiny LIST_CAP the overflow flag trips and the min-extract
     fallback must still resolve every winner exactly."""

@@ -100,7 +100,10 @@ class RenderConfig:
     # measures ~7us/iteration on v5e regardless of body work); 'list'
     # records improving leaf chunks in an SMEM list during traversal and
     # resolves them in a counter-bounded fori (control never touches
-    # vector state). 'list' requires rb_window=1 and no prefetch.
+    # vector state); 'arena' additionally batches the list's chunk DMAs
+    # all-in-flight into a VMEM arena and resolves with a static unrolled
+    # vector loop (no per-chunk serial chain at all). 'list'/'arena'
+    # require rb_window=1 and no prefetch.
     pallas_rb_mode: str = "minloop"
 
     # RNG algorithm (reference CPU_RAND_ALGORITHM).
@@ -160,16 +163,16 @@ class RenderConfig:
                 "pallas_rb_window > 1 requires pallas_rb_gather='onehot' "
                 "(Mosaic's dynamic gather is in-tile / 128 lanes)"
             )
-        if self.pallas_rb_mode not in ("minloop", "list"):
+        if self.pallas_rb_mode not in ("minloop", "list", "arena"):
             raise ValueError(
-                "pallas_rb_mode must be 'minloop' or 'list', got "
+                "pallas_rb_mode must be 'minloop', 'list' or 'arena', got "
                 f"{self.pallas_rb_mode!r}"
             )
-        if self.pallas_rb_mode == "list" and (rbw != 1 or
-                                              self.pallas_rb_prefetch):
+        if self.pallas_rb_mode in ("list", "arena") and (
+                rbw != 1 or self.pallas_rb_prefetch):
             raise ValueError(
-                "pallas_rb_mode='list' requires pallas_rb_window=1 and "
-                "pallas_rb_prefetch=False"
+                f"pallas_rb_mode={self.pallas_rb_mode!r} requires "
+                "pallas_rb_window=1 and pallas_rb_prefetch=False"
             )
 
     @property

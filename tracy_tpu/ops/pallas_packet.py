@@ -58,8 +58,10 @@ from tracy_tpu.accel.packet import PackedBVH, PacketAttrs
 # Phase-2 (readback) bisection: 'nodma2' skips the per-chunk attr DMA,
 # 'nogather2' replaces the in-row winner gathers with broadcasts,
 # 'noput2' skips interpolation + output-plane selects (the loop still
-# walks every distinct chunk). Results are WRONG under ablation — perf
-# bisection only (tools/tpu_probe_r2.py).
+# walks every distinct chunk), 'nobody2' empties the list/arena loop body
+# entirely (skeleton cost only), 'dmaonly2' keeps only the DMA in the
+# list body, 'noresolve2' skips the arena's static resolve. Results are
+# WRONG under ablation — perf bisection only (tools/tpu_probe_r2.py).
 _ABLATE = frozenset(
     x for x in os.environ.get("TRACY_PALLAS_ABLATE", "").split(",") if x
 )
@@ -67,10 +69,15 @@ _ABLATE = frozenset(
 LEAF = 128  # static leaf window; every leaf owns an ALIGNED 128-slot chunk
 # (Mosaic vector loads from the lane dimension must be 128-aligned)
 PACKET = 1024  # rays per packet: [8, 128]
-# rb_mode='list' chunk-list capacity (SMEM i32 entries per packet). Sized
-# above the worst measured improving-leaf-visit count; overflow falls back
-# to the min-extract loop (correct, just slower).
+# rb_mode='list'/'arena' chunk-list capacity (SMEM i32 entries per packet).
+# Sized above the worst measured improving-leaf-visit count; overflow falls
+# back to the min-extract loop (correct, just slower).
 LIST_CAP = 510
+# rb_mode='arena' VMEM arena size in 128-slot chunks: one batch of DMAs is
+# issued all-in-flight, then a STATIC unrolled resolve walks the arena.
+# Batches repeat while list entries remain (kk p50=24, p90=67 on dragon
+# wave 2), so the cap bounds VMEM, not correctness.
+ARENA_BATCH = 32
 EPS = float(tm.EPS)
 BIG = 3.4028235e38
 
@@ -336,7 +343,7 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
     ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
     stack_ref[0] = 0
-    if rb_mode == "list":
+    if rb_mode in ("list", "arena"):
         rbl_ref[0] = 0  # chunk-list count
         rbl_ref[1] = 0  # overflow flag
 
@@ -350,6 +357,11 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
     # [2]=u, [3]=v, [4:]=attributes.
     zero = jnp.zeros((8, 128), jnp.float32)
     acc_ref[0] = zero - 1.0
+    if rb_mode == "arena":
+        # per-ray ARENA ENTRY index (position in the recorded chunk list;
+        # -1 = no winner). Like acc[0] this init is required for
+        # correctness (phase 2 matches entries by equality).
+        acc_ref[4 + num_out] = zero - 1.0
     if "noinit" not in _ABLATE:
         for k in range(1, 4 + num_out):
             acc_ref[k] = zero
@@ -516,7 +528,7 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
             acc_ref[1] = jnp.where(imp, cand_idx.astype(jnp.float32), acc_ref[1])
             acc_ref[2] = jnp.where(imp, cand_u, acc_ref[2])
             acc_ref[3] = jnp.where(imp, cand_v, acc_ref[3])
-            if rb_mode == "list":
+            if rb_mode in ("list", "arena"):
                 # Append this chunk to the phase-2 candidate list when the
                 # visit improved any lane (scalar SMEM ops, consecutive-dup
                 # suppressed). The final winner chunk of every lane is the
@@ -539,6 +551,16 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
                 @pl.when(jnp.logical_and(want, kk >= LIST_CAP))
                 def _():
                     rbl_ref[1] = 1
+
+                if rb_mode == "arena":
+                    # Stamp improving lanes with this visit's list entry
+                    # (the just-appended index, or the previous one on a
+                    # consecutive dup). On overflow the stamp is stale —
+                    # the ovf flag routes the whole packet to the minloop.
+                    ent = jnp.where(dup, kk - 1, kk).astype(jnp.float32)
+                    acc_ref[4 + num_out] = jnp.where(
+                        imp, ent, acc_ref[4 + num_out]
+                    )
             return (sp_in, jnp.where(imp, cand_t, bt))
 
         return jax.lax.cond(is_leaf, leaf_case, inner_case, sp, c[1])
@@ -690,12 +712,17 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
             def rb_body(carry):
                 cur, n = carry
                 win_base, sel, gidx = win_of(cur)
+                # arena mode sizes a_s to ARENA_BATCH chunks; the fallback
+                # minloop only uses its first WW lanes.
+                dst = (a_s.at[:, pl.ds(0, WW)] if rb_mode == "arena"
+                       else a_s)
                 cp_a = pltpu.make_async_copy(
-                    attr_ref.at[:, pl.ds(win_base, WW)], a_s, dma_sems.at[1])
+                    attr_ref.at[:, pl.ds(win_base, WW)], dst, dma_sems.at[1])
                 if "nodma2" not in _ABLATE:
                     cp_a.start()
                     cp_a.wait()
-                resolve(a_s, sel, gidx, acc_ref[2], acc_ref[3])
+                buf = a_s[:, 0:WW] if rb_mode == "arena" else a_s
+                resolve(buf, sel, gidx, acc_ref[2], acc_ref[3])
                 # mark processed; advance to the next distinct chunk.
                 acc_ref[0] = jnp.where(sel, jnp.float32(-2.0), acc_ref[0])
                 return next_chunk(), n + 1
@@ -714,12 +741,16 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
             kk = rbl_ref[0]
 
             def list_body(i, carry):
+                if "nobody2" in _ABLATE:
+                    return carry
                 base = pl.multiple_of(rbl_ref[i + 2], LEAF)
                 cp_a = pltpu.make_async_copy(
                     attr_ref.at[:, pl.ds(base, LEAF)], a_s, dma_sems.at[1])
                 if "nodma2" not in _ABLATE:
                     cp_a.start()
                     cp_a.wait()
+                if "dmaonly2" in _ABLATE:
+                    return carry
                 sel = acc_ref[0] == base.astype(jnp.float32)
                 gidx = jnp.clip(acc_ref[1].astype(jnp.int32), 0, LEAF - 1)
                 resolve(a_s, sel, gidx, acc_ref[2], acc_ref[3])
@@ -732,6 +763,70 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
             @pl.when(rbl_ref[1] > 0)
             def _():
                 minloop()
+
+            if "countrb" in _ABLATE:
+                out_ref[pkt, 0] = jnp.full((8, 128), 1.0) * (
+                    kk + 1000 * rbl_ref[1]
+                ).astype(jnp.float32)
+        elif rb_mode == "arena":
+            # Batched readback, no per-chunk serial chain of ANY kind: the
+            # minloop's vector->scalar extraction and the list fori's
+            # DMA-start->wait->gather chain both measured ~7us per distinct
+            # chunk at incoherence (every body ablation was flat — the cost
+            # is the per-iteration serialization itself). Here each batch
+            # (a) issues ALL chunk DMAs back-to-back on one counting
+            # semaphore — a scalar-only loop, latencies overlap in the DMA
+            # engines — then (b) resolves with a STATIC ARENA_BATCH-way
+            # unrolled straight-line vector loop. Unrolled slots past the
+            # recorded count resolve stale arena data but select no lanes
+            # (entry stamps are always < kk), so no per-slot branch guards.
+            kk = rbl_ref[0]
+            entry_pl = 4 + num_out
+
+            def batch_body(b0):
+                b1 = jnp.minimum(kk, b0 + ARENA_BATCH)
+
+                def cp(i):
+                    base = pl.multiple_of(rbl_ref[i + 2], LEAF)
+                    return pltpu.make_async_copy(
+                        attr_ref.at[:, pl.ds(base, LEAF)],
+                        a_s.at[:, pl.ds((i - b0) * LEAF, LEAF)],
+                        dma_sems.at[1])
+
+                if "nodma2" not in _ABLATE:
+                    def start_body(i, c):
+                        cp(i).start()
+                        return c
+
+                    jax.lax.fori_loop(b0, b1, start_body, 0)
+
+                    def wait_body(i, c):
+                        cp(i).wait()
+                        return c
+
+                    jax.lax.fori_loop(b0, b1, wait_body, 0)
+
+                if "noresolve2" not in _ABLATE:
+                    b0f = b0.astype(jnp.float32)
+                    gidx = jnp.clip(acc_ref[1].astype(jnp.int32), 0, LEAF - 1)
+                    for j in range(ARENA_BATCH):
+                        sel = acc_ref[entry_pl] == b0f + float(j)
+                        resolve(a_s[:, j * LEAF:(j + 1) * LEAF], sel, gidx,
+                                acc_ref[2], acc_ref[3])
+                return b0 + ARENA_BATCH
+
+            if "nobody2" not in _ABLATE:
+                @pl.when(rbl_ref[1] == 0)
+                def _():
+                    jax.lax.while_loop(lambda b0: b0 < kk, batch_body,
+                                       jnp.int32(0))
+
+                # List overflow: the entry stamps are incomplete — resolve
+                # every winner with the min-extract loop instead (chunk
+                # bases in acc[0] are complete in every mode).
+                @pl.when(rbl_ref[1] > 0)
+                def _():
+                    minloop()
 
             if "countrb" in _ABLATE:
                 out_ref[pkt, 0] = jnp.full((8, 128), 1.0) * (
@@ -833,12 +928,14 @@ def pallas_intersect(
             "(build_tables(pack_pairs=False)): packed bf16-pair bit "
             "patterns can be denormal f32s, which the MXU flushes"
         )
-    if rb_mode not in ("minloop", "list"):
-        raise ValueError(f"rb_mode must be 'minloop' or 'list', got {rb_mode!r}")
-    if rb_mode == "list" and (rb_window != 1 or rb_prefetch):
+    if rb_mode not in ("minloop", "list", "arena"):
         raise ValueError(
-            "rb_mode='list' resolves one 128-slot chunk per list entry: "
-            "requires rb_window=1 and rb_prefetch=False"
+            f"rb_mode must be 'minloop', 'list' or 'arena', got {rb_mode!r}"
+        )
+    if rb_mode in ("list", "arena") and (rb_window != 1 or rb_prefetch):
+        raise ValueError(
+            f"rb_mode={rb_mode!r} resolves one 128-slot chunk per list "
+            "entry: requires rb_window=1 and rb_prefetch=False"
         )
     na = _num_out_attrs(huv, wt)
     out_planes = 4 + na  # t, u, v, attrs, winner slot
@@ -882,11 +979,13 @@ def pallas_intersect(
         scratch_shapes=[
             pltpu.SMEM((stack_depth,), jnp.int32),
             pltpu.VMEM((tables.woop.shape[0], LEAF), jnp.float32),
+            pltpu.VMEM((tables.attrs.shape[0],
+                        (ARENA_BATCH if rb_mode == "arena" else rb_window)
+                        * LEAF), jnp.float32),
             pltpu.VMEM((tables.attrs.shape[0], rb_window * LEAF),
                        jnp.float32),
-            pltpu.VMEM((tables.attrs.shape[0], rb_window * LEAF),
+            pltpu.VMEM((4 + na + (1 if rb_mode == "arena" else 0), 8, 128),
                        jnp.float32),
-            pltpu.VMEM((4 + na, 8, 128), jnp.float32),
             pltpu.SMEM((LIST_CAP + 2,), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
