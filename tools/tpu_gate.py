@@ -65,9 +65,11 @@ def main() -> int:
     hit_x, at_x = jax.jit(xla_isect)(o, d, act)
     tables = build_tables(scene, bvh, with_tangent=False)
     interp = os.environ.get("TRACY_GATE_INTERPRET", "0") == "1"  # CPU dry-run
+    rbm = os.environ.get("TRACY_GATE_RBM", "minloop")  # gate other rb modes
     t0 = time.perf_counter()
     hit_p, at_p = jax.jit(
-        lambda oo, dd, aa: pallas_intersect(oo, dd, aa, tables, interpret=interp)
+        lambda oo, dd, aa: pallas_intersect(oo, dd, aa, tables,
+                                            interpret=interp, rb_mode=rbm)
     )(o, d, act)
     hit_p.t.block_until_ready()
     print(f"[gate] pallas intersect compiled+ran ({time.perf_counter()-t0:.1f}s)",
