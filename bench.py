@@ -161,10 +161,14 @@ def main():
             print(f"[bench] image save failed: {e}", file=sys.stderr)
 
     vs = mrays / TRACY_BASELINE_MRAYS if TRACY_BASELINE_MRAYS > 0 else 1.0
+    scene_tag = os.path.splitext(os.path.basename(scene_path))[0]
+    default_metric = (
+        "dragon_1080p_4spp_mrays_per_s_per_chip"
+        if (scene_tag, width, height, spp) == ("dragon", 1920, 1080, 4)
+        else f"{scene_tag}_{width}x{height}_{spp}spp_mrays_per_s_per_chip"
+    )
     print(json.dumps({
-        "metric": os.environ.get(
-            "TRACY_BENCH_METRIC", "dragon_1080p_4spp_mrays_per_s_per_chip"
-        ),
+        "metric": os.environ.get("TRACY_BENCH_METRIC", default_metric),
         "value": round(mrays, 3),
         "unit": "MRays/s",
         "vs_baseline": round(vs, 3),

@@ -233,6 +233,79 @@ def test_pallas_rb_list(textured):
 
 
 @pytest.mark.parametrize("textured", [False, True])
+def test_pallas_rb_fused(textured):
+    """The fused readback (per-leaf-visit attribute resolve, pure vector
+    ops, no phase 2) must be bit-identical to the min-extract loop: the
+    last improving visit writes the same interpolated values phase 2
+    would compute for the final winner."""
+    b = default_scene(32, 24)
+    if textured:
+        tex = b.add_texture(np.full((4, 4, 4), 0.5, np.float32))
+        b.set_material_texture(1, 0, tex)
+    scene = b.build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    i1 = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True)
+    if_ = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                  interpret=True, rb_mode="fused")
+    o, d = _rays_for(scene, 3072, seed=11)
+    act = jnp.ones(3072, bool)
+    h1, a1 = i1(o, d, act)
+    hf, af = if_(o, d, act)
+    np.testing.assert_array_equal(np.asarray(h1.mask), np.asarray(hf.mask))
+    np.testing.assert_array_equal(np.asarray(h1.t), np.asarray(hf.t))
+    np.testing.assert_array_equal(np.asarray(h1.uv), np.asarray(hf.uv))
+    np.testing.assert_array_equal(np.asarray(a1.normal), np.asarray(af.normal))
+    np.testing.assert_array_equal(np.asarray(a1.uv), np.asarray(af.uv))
+    np.testing.assert_array_equal(np.asarray(a1.material),
+                                  np.asarray(af.material))
+
+
+def test_pallas_rb_fused_tangent():
+    """Fused readback with the tangent rows (normal-mapped layout)."""
+    b = default_scene(32, 24)
+    tex = b.add_texture(np.full((4, 4, 4), 0.5, np.float32))
+    b.set_material_texture(1, 0, tex)
+    scene = b.build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    i1 = make_pallas_intersector(scene, bvh, with_tangent=True,
+                                 interpret=True)
+    if_ = make_pallas_intersector(scene, bvh, with_tangent=True,
+                                  interpret=True, rb_mode="fused")
+    o, d = _rays_for(scene, 2048, seed=5)
+    act = jnp.ones(2048, bool)
+    h1, a1 = i1(o, d, act)
+    hf, af = if_(o, d, act)
+    np.testing.assert_array_equal(np.asarray(h1.t), np.asarray(hf.t))
+    np.testing.assert_array_equal(np.asarray(a1.tangent),
+                                  np.asarray(af.tangent))
+
+
+def test_pallas_dead_packet_fast_path():
+    """A fully-dead packet takes the constant-output fast path: its lanes
+    must read as misses with zeroed attributes, and live packets must be
+    unaffected."""
+    scene = default_scene(32, 24).build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    isect = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                    interpret=True)
+    o, d = _rays_for(scene, 3072, seed=7)
+    act_all = jnp.ones(3072, bool)
+    act_mid = act_all.at[1024:2048].set(False)  # packet 1 fully dead
+    h_all, a_all = isect(o, d, act_all)
+    h_mid, a_mid = isect(o, d, act_mid)
+    dead = slice(1024, 2048)
+    assert not np.asarray(h_mid.mask)[dead].any()
+    np.testing.assert_array_equal(np.asarray(a_mid.material)[dead], 0)
+    np.testing.assert_array_equal(np.asarray(a_mid.normal)[dead], 0.0)
+    for live in (slice(0, 1024), slice(2048, 3072)):
+        np.testing.assert_array_equal(np.asarray(h_all.t)[live],
+                                      np.asarray(h_mid.t)[live])
+        np.testing.assert_array_equal(np.asarray(a_all.normal)[live],
+                                      np.asarray(a_mid.normal)[live])
+
+
+@pytest.mark.parametrize("textured", [False, True])
 def test_pallas_rb_arena(textured):
     """The arena-mode readback (batched all-in-flight chunk DMAs + static
     unrolled resolve over per-ray entry stamps) must be bit-identical to

@@ -102,8 +102,11 @@ class RenderConfig:
     # resolves them in a counter-bounded fori (control never touches
     # vector state); 'arena' additionally batches the list's chunk DMAs
     # all-in-flight into a VMEM arena and resolves with a static unrolled
-    # vector loop (no per-chunk serial chain at all). 'list'/'arena'
-    # require rb_window=1 and no prefetch.
+    # vector loop; 'fused' resolves attributes AT EVERY LEAF VISIT with
+    # pure vector ops — no phase 2, no scalar read of vector state
+    # anywhere (any such read drains the vector pipeline: the measured
+    # ~170us/packet incoherent-wave dominator that the other modes only
+    # relocated). 'list'/'arena'/'fused' require rb_window=1, no prefetch.
     pallas_rb_mode: str = "minloop"
 
     # RNG algorithm (reference CPU_RAND_ALGORITHM).
@@ -163,12 +166,12 @@ class RenderConfig:
                 "pallas_rb_window > 1 requires pallas_rb_gather='onehot' "
                 "(Mosaic's dynamic gather is in-tile / 128 lanes)"
             )
-        if self.pallas_rb_mode not in ("minloop", "list", "arena"):
+        if self.pallas_rb_mode not in ("minloop", "list", "arena", "fused"):
             raise ValueError(
-                "pallas_rb_mode must be 'minloop', 'list' or 'arena', got "
-                f"{self.pallas_rb_mode!r}"
+                "pallas_rb_mode must be 'minloop', 'list', 'arena' or "
+                f"'fused', got {self.pallas_rb_mode!r}"
             )
-        if self.pallas_rb_mode in ("list", "arena") and (
+        if self.pallas_rb_mode in ("list", "arena", "fused") and (
                 rbw != 1 or self.pallas_rb_prefetch):
             raise ValueError(
                 f"pallas_rb_mode={self.pallas_rb_mode!r} requires "

@@ -311,28 +311,45 @@ def _kernel(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
     rays_ref [PPS, 7, 8, 128]; out_ref [PPS, 3 + num_out, 8, 128]."""
 
     for pkt in range(packets_per_step):
-        ray_block = rays_ref[pkt]  # [7, 8, 128] — static index
-        _packet_body(nb_ref, nm_ref, woop_ref, attr_ref,
-                     ray_block, out_ref, pkt, stack_ref, w_s, a_s, a_s2,
-                     acc_ref, rbl_ref, dma_sems, stack_depth=stack_depth,
-                     has_uv=has_uv, with_tangent=with_tangent,
-                     num_out=num_out, rb_window=rb_window,
-                     rb_prefetch=rb_prefetch, rb_gather=rb_gather,
-                     rb_packed=rb_packed, rb_mode=rb_mode)
+        # Dead-packet fast path: per-wave compaction leaves late waves
+        # mostly dead packets, and the full body's plumbing floor (ray
+        # loads + acc init + out writes) measured ~13.7us even with zero
+        # visits. A dead packet only needs constant miss outputs.
+        any_live = jnp.max(rays_ref[pkt, 6]) > 0.0
+
+        @pl.when(any_live)
+        def _(pkt=pkt):
+            _packet_body(nb_ref, nm_ref, woop_ref, attr_ref,
+                         rays_ref, out_ref, pkt, stack_ref, w_s, a_s, a_s2,
+                         acc_ref, rbl_ref, dma_sems, stack_depth=stack_depth,
+                         has_uv=has_uv, with_tangent=with_tangent,
+                         num_out=num_out, rb_window=rb_window,
+                         rb_prefetch=rb_prefetch, rb_gather=rb_gather,
+                         rb_packed=rb_packed, rb_mode=rb_mode)
+
+        @pl.when(jnp.logical_not(any_live))
+        def _(pkt=pkt):
+            zero = jnp.zeros((8, 128), jnp.float32)
+            out_ref[pkt, 0] = zero - BIG  # t: -BIG = inactive miss
+            for k in range(1, 3 + num_out):
+                out_ref[pkt, k] = zero  # u/v/attrs
+            out_ref[pkt, 3 + num_out] = zero - 1.0  # winner slot: none
 
 
-def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
+def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
                  pkt, stack_ref, w_s, a_s, a_s2, acc_ref, rbl_ref, dma_sems,
                  *, stack_depth: int, has_uv: bool, with_tangent: bool,
                  num_out: int, rb_window: int, rb_prefetch: bool,
                  rb_gather: str, rb_packed: bool, rb_mode: str):
-    ox = rays[0]
-    oy = rays[1]
-    oz = rays[2]
-    dx = rays[3]
-    dy = rays[4]
-    dz = rays[5]
-    active = rays[6] > 0.0
+    # Per-plane reads (a whole-block read would materialize all 7 planes
+    # into vregs before the dead-packet branch could skip them).
+    ox = rays_ref[pkt, 0]
+    oy = rays_ref[pkt, 1]
+    oz = rays_ref[pkt, 2]
+    dx = rays_ref[pkt, 3]
+    dy = rays_ref[pkt, 4]
+    dz = rays_ref[pkt, 5]
+    active = rays_ref[pkt, 6] > 0.0
 
     def safe_inv(x):
         return jnp.clip(
@@ -371,6 +388,110 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
     )
 
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (LEAF, 128), 0)
+
+    WW = rb_window * LEAF
+
+    def resolve(buf, sel, gidx, u_sel, v_sel):
+        """Gathers + interpolation + output selects for one window.
+
+        buf is a [rows, WW] array; pure VECTOR ops throughout — safe to
+        run per leaf visit (rb_mode='fused') without stalling the scalar
+        pipe (any scalar read of vector state drains the whole preceding
+        vector dependency chain: measured ~0.85us after the MT fori and
+        ~7us after a full resolve chain)."""
+        if "nogather2" in _ABLATE:
+            def pick(k):  # row broadcast, no dynamic gather (perf probe)
+                return jnp.broadcast_to(
+                    buf[k, :].reshape(1, WW)[:, :128], (8, 128)
+                )
+        elif rb_gather == "onehot":
+            # Exact winner extraction as ONE MXU contraction per ray-row:
+            # vals[k, l] = sum_s buf[k, s] * onehot[s, l]. The one-hot is
+            # exact in bf16 (0.0/1.0) and precision=HIGHEST decomposes
+            # the f32 table exactly (bf16x3), so this IS a gather — for
+            # ANY window width (Mosaic's tpu.dynamic_gather is an
+            # in-tile permute, 128 lanes max, and serializes ~per lane).
+            nrows = buf.shape[0]
+            iota_w = jax.lax.broadcasted_iota(jnp.int32, (WW, 128), 0)
+            planes = [jnp.zeros((8, 128), jnp.float32)
+                      for _ in range(nrows)]
+            for r in range(8):
+                r_mask = jax.lax.broadcasted_iota(
+                    jnp.int32, (8, 1), 0) == r
+                gidx_r = jnp.sum(jnp.where(r_mask, gidx, 0), axis=0)
+                oh = (iota_w == gidx_r[None, :]).astype(jnp.float32)
+                vals = jax.lax.dot_general(
+                    buf[:, :], oh,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )  # [nrows, 128]
+                for k in range(nrows):
+                    planes[k] = jnp.where(
+                        r_mask, vals[k:k + 1, :], planes[k]
+                    )
+
+            def pick(k):
+                return planes[k]
+        else:
+            def pick(k):
+                w = jnp.broadcast_to(buf[k, :].reshape(1, WW), (8, WW))
+                if WW == 128:
+                    return jnp.take_along_axis(w, gidx, axis=1)
+                # Mosaic's dynamic_gather is in-tile only: route >128-
+                # lane windows through the onehot mode instead.
+                raise NotImplementedError(
+                    "rb_window > 1 requires rb_gather='onehot'"
+                )
+
+        def pick_pair(base, j):
+            # packed bf16 pair row: component j of a 9-list packed at
+            # rows base + j//2; hi half for even j, lo half for odd.
+            bits = jax.lax.bitcast_convert_type(
+                pick(base + j // 2), jnp.uint32
+            )
+            if j % 2 == 0:
+                bits = bits & jnp.uint32(0xFFFF0000)
+            else:
+                bits = bits << 16
+            return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+        w_sel = 1.0 - u_sel - v_sel
+
+        def put(idx, val):
+            acc_ref[idx] = jnp.where(sel, val, acc_ref[idx])
+
+        # Fused rows: [uv corners 0..5 when has_uv,] mat, normal
+        # corners [, tangent corners] — bf16 pairs (packed) or plain
+        # f32 rows (flat). Offsets are static per layout.
+        mat_row = 6 if has_uv else 0
+        n_base = mat_row + 1
+        t_base = n_base + (5 if rb_packed else 9)
+
+        def corner_val(base, j):
+            # j = corner*3 + component in the 9-value corner list.
+            return pick_pair(base, j) if rb_packed else pick(base + j)
+
+        if "noput2" not in _ABLATE:
+            k_out = 4
+            for comp in range(3):  # normal xyz
+                put(k_out, w_sel * corner_val(n_base, comp)
+                    + u_sel * corner_val(n_base, 3 + comp)
+                    + v_sel * corner_val(n_base, 6 + comp))
+                k_out += 1
+            if has_uv:
+                for comp in range(2):  # uv (f32 rows)
+                    put(k_out, w_sel * pick(comp) + u_sel * pick(2 + comp)
+                        + v_sel * pick(4 + comp))
+                    k_out += 1
+            put(k_out, pick(mat_row))  # material id
+            k_out += 1
+            if with_tangent:  # tangent xyz
+                for comp in range(3):
+                    put(k_out, w_sel * corner_val(t_base, comp)
+                        + u_sel * corner_val(t_base, 3 + comp)
+                        + v_sel * corner_val(t_base, 6 + comp))
+                    k_out += 1
 
     def cond(c):
         return c[0] > 0
@@ -444,8 +565,17 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
 
             cp_w = pltpu.make_async_copy(
                 woop_ref.at[:, pl.ds(chunk_base, LEAF)], w_s, dma_sems.at[0])
+            if rb_mode == "fused":
+                # The attribute chunk rides along with the woop chunk: its
+                # DMA overlaps the MT row loop and is only waited on right
+                # before the per-visit resolve.
+                cp_a = pltpu.make_async_copy(
+                    attr_ref.at[:, pl.ds(chunk_base, LEAF)], a_s,
+                    dma_sems.at[1])
             if "nodma" not in _ABLATE:
                 cp_w.start()
+                if rb_mode == "fused":
+                    cp_a.start()
                 cp_w.wait()
 
             # Woop coefficient windows as [LEAF, 1] for the pair grid.
@@ -561,6 +691,18 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
                     acc_ref[4 + num_out] = jnp.where(
                         imp, ent, acc_ref[4 + num_out]
                     )
+            if rb_mode == "fused" and "noreadback" not in _ABLATE:
+                # Per-visit winner readback, PURE vector ops: the chunk's
+                # attributes are already in VMEM (cp_a), the winning slot's
+                # values come out by in-row gather under the improved mask,
+                # and nothing scalar ever reads vector state — so the
+                # scalar pipe keeps running ahead (a scalar read after the
+                # MT fori measured ~0.85us/visit of pipeline drain; a
+                # phase-2 loop ~7us per distinct chunk).
+                if "nodma" not in _ABLATE:
+                    cp_a.wait()
+                resolve(a_s[:, :], imp,
+                        jnp.clip(cand_idx, 0, LEAF - 1), cand_u, cand_v)
             return (sp_in, jnp.where(imp, cand_t, bt))
 
         return jax.lax.cond(is_leaf, leaf_case, inner_case, sp, c[1])
@@ -584,9 +726,8 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
     # tree order, so nearby rays' winners share windows). Per iteration:
     # ONE fused-table DMA + 6|12|17 in-row gathers over the window (u/v
     # came from phase 1; bf16 pairs unpack with bit ops after one gather).
-    if "noreadback" not in _ABLATE:
-        WW = rb_window * LEAF
-
+    # rb_mode='fused' has no phase 2: it resolves at every leaf visit.
+    if "noreadback" not in _ABLATE and rb_mode != "fused":
         def next_chunk():
             wc = acc_ref[0]
             return jnp.min(jnp.where(wc >= 0.0, wc, jnp.float32(BIG)))
@@ -606,102 +747,6 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays, out_ref,
                 (acc_ref[0] - wb_f + acc_ref[1]).astype(jnp.int32), 0, WW - 1
             )
             return win_base, sel, gidx
-
-        def resolve(buf, sel, gidx, u_sel, v_sel):
-            """Gathers + interpolation + output selects for one window."""
-            if "nogather2" in _ABLATE:
-                def pick(k):  # row broadcast, no dynamic gather (perf probe)
-                    return jnp.broadcast_to(
-                        buf[k, :].reshape(1, WW)[:, :128], (8, 128)
-                    )
-            elif rb_gather == "onehot":
-                # Exact winner extraction as ONE MXU contraction per ray-row:
-                # vals[k, l] = sum_s buf[k, s] * onehot[s, l]. The one-hot is
-                # exact in bf16 (0.0/1.0) and precision=HIGHEST decomposes
-                # the f32 table exactly (bf16x3), so this IS a gather — for
-                # ANY window width (Mosaic's tpu.dynamic_gather is an
-                # in-tile permute, 128 lanes max, and serializes ~per lane).
-                nrows = buf.shape[0]
-                iota_w = jax.lax.broadcasted_iota(jnp.int32, (WW, 128), 0)
-                planes = [jnp.zeros((8, 128), jnp.float32)
-                          for _ in range(nrows)]
-                for r in range(8):
-                    r_mask = jax.lax.broadcasted_iota(
-                        jnp.int32, (8, 1), 0) == r
-                    gidx_r = jnp.sum(jnp.where(r_mask, gidx, 0), axis=0)
-                    oh = (iota_w == gidx_r[None, :]).astype(jnp.float32)
-                    vals = jax.lax.dot_general(
-                        buf[:, :], oh,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32,
-                    )  # [nrows, 128]
-                    for k in range(nrows):
-                        planes[k] = jnp.where(
-                            r_mask, vals[k:k + 1, :], planes[k]
-                        )
-
-                def pick(k):
-                    return planes[k]
-            else:
-                def pick(k):
-                    w = jnp.broadcast_to(buf[k, :].reshape(1, WW), (8, WW))
-                    if WW == 128:
-                        return jnp.take_along_axis(w, gidx, axis=1)
-                    # Mosaic's dynamic_gather is in-tile only: route >128-
-                    # lane windows through the onehot mode instead.
-                    raise NotImplementedError(
-                        "rb_window > 1 requires rb_gather='onehot'"
-                    )
-
-            def pick_pair(base, j):
-                # packed bf16 pair row: component j of a 9-list packed at
-                # rows base + j//2; hi half for even j, lo half for odd.
-                bits = jax.lax.bitcast_convert_type(
-                    pick(base + j // 2), jnp.uint32
-                )
-                if j % 2 == 0:
-                    bits = bits & jnp.uint32(0xFFFF0000)
-                else:
-                    bits = bits << 16
-                return jax.lax.bitcast_convert_type(bits, jnp.float32)
-
-            w_sel = 1.0 - u_sel - v_sel
-
-            def put(idx, val):
-                acc_ref[idx] = jnp.where(sel, val, acc_ref[idx])
-
-            # Fused rows: [uv corners 0..5 when has_uv,] mat, normal
-            # corners [, tangent corners] — bf16 pairs (packed) or plain
-            # f32 rows (flat). Offsets are static per layout.
-            mat_row = 6 if has_uv else 0
-            n_base = mat_row + 1
-            t_base = n_base + (5 if rb_packed else 9)
-
-            def corner_val(base, j):
-                # j = corner*3 + component in the 9-value corner list.
-                return pick_pair(base, j) if rb_packed else pick(base + j)
-
-            if "noput2" not in _ABLATE:
-                k_out = 4
-                for comp in range(3):  # normal xyz
-                    put(k_out, w_sel * corner_val(n_base, comp)
-                        + u_sel * corner_val(n_base, 3 + comp)
-                        + v_sel * corner_val(n_base, 6 + comp))
-                    k_out += 1
-                if has_uv:
-                    for comp in range(2):  # uv (f32 rows)
-                        put(k_out, w_sel * pick(comp) + u_sel * pick(2 + comp)
-                            + v_sel * pick(4 + comp))
-                        k_out += 1
-                put(k_out, pick(mat_row))  # material id
-                k_out += 1
-                if with_tangent:  # tangent xyz
-                    for comp in range(3):
-                        put(k_out, w_sel * corner_val(t_base, comp)
-                            + u_sel * corner_val(t_base, 3 + comp)
-                            + v_sel * corner_val(t_base, 6 + comp))
-                        k_out += 1
 
         def minloop():
             """Min-extract loop: one iteration per distinct winning window,
@@ -928,14 +973,16 @@ def pallas_intersect(
             "(build_tables(pack_pairs=False)): packed bf16-pair bit "
             "patterns can be denormal f32s, which the MXU flushes"
         )
-    if rb_mode not in ("minloop", "list", "arena"):
+    if rb_mode not in ("minloop", "list", "arena", "fused"):
         raise ValueError(
-            f"rb_mode must be 'minloop', 'list' or 'arena', got {rb_mode!r}"
+            "rb_mode must be 'minloop', 'list', 'arena' or 'fused', got "
+            f"{rb_mode!r}"
         )
-    if rb_mode in ("list", "arena") and (rb_window != 1 or rb_prefetch):
+    if rb_mode in ("list", "arena", "fused") and (rb_window != 1
+                                                  or rb_prefetch):
         raise ValueError(
-            f"rb_mode={rb_mode!r} resolves one 128-slot chunk per list "
-            "entry: requires rb_window=1 and rb_prefetch=False"
+            f"rb_mode={rb_mode!r} resolves one 128-slot chunk at a time: "
+            "requires rb_window=1 and rb_prefetch=False"
         )
     na = _num_out_attrs(huv, wt)
     out_planes = 4 + na  # t, u, v, attrs, winner slot
