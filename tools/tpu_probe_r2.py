@@ -51,7 +51,8 @@ def main() -> int:
 
     print(f"[probe] device: {jax.devices()[0]}", flush=True)
 
-    w, h = 640, 480
+    w = int(os.environ.get("PROBE_W", 640))
+    h = int(os.environ.get("PROBE_H", 480))
     b = load_scene("/root/reference/data/scenes/dragon.scn",
                    data_root="/root/reference")
     b.width, b.height = w, h
