@@ -9,14 +9,15 @@ no additive cost model explains. This tool times each building block in a
 bare fori_loop so the numbers stop lying:
 
   v0   empty loop (loop/branch skeleton)
-  vmt  the 8-row MT fori (the [LEAF,128] Moller-Trumbore tiles)
+  vd   chunk DMA (start+wait) + minimal consume — the invariant base all
+       real visits pay; WITHOUT a varying DMA the compiler hoists the MT
+       out of the loop entirely (first micro run measured 4-30 ns/iter)
+  vmt  vd + the 8-row MT fori (the [LEAF,128] Moller-Trumbore tiles)
   vacc vmt + the 4 acc-plane writes under the improved mask
   vred vacc + a vector->scalar max consumed by an SMEM write (the 'list'
        append's sync, minus the SMEM bookkeeping)
-  vdma vacc + an HBM chunk DMA (start+wait, like cp_a)
-  vres vacc + resolve-style work from RESIDENT VMEM (7 in-row gathers +
-       bf16-pair unpack + interpolation + 7 masked puts), no DMA
-  vall vdma + the resolve reading the DMA'd buffer (the 'fused' visit)
+  vres vacc + attr DMA + resolve (7 in-row gathers + bf16-pair unpack +
+       interpolation + masked puts) — the 'fused' leaf visit
 
 Usage: PROBE_MICRO=v0,vmt,... python tools/tpu_micro.py  (default: all)
 Each variant runs REPS(8) x ITERS(2000) iterations inside one jit program.
@@ -155,21 +156,22 @@ def main() -> int:
                 attr_ref.at[:, pl.ds(0, LEAF)], a_s, dma_sems.at[1]).wait()
 
             def body(i, bt):
-                chunk = (i % 31) * LEAF  # wander the tables
-                chunk = pl.multiple_of(chunk, LEAF)
                 if variant == "v0":
                     return bt + 1e-7
-
-                if variant in ("vdma", "vall"):
-                    cp_w = pltpu.make_async_copy(
-                        woop_ref.at[:, pl.ds(chunk, LEAF)], w_s,
-                        dma_sems.at[0])
+                chunk = (i % 31) * LEAF  # wander the tables
+                chunk = pl.multiple_of(chunk, LEAF)
+                cp_w = pltpu.make_async_copy(
+                    woop_ref.at[:, pl.ds(chunk, LEAF)], w_s,
+                    dma_sems.at[0])
+                cp_w.start()
+                if variant == "vres":
                     cp_a = pltpu.make_async_copy(
                         attr_ref.at[:, pl.ds(chunk, LEAF)], a_s,
                         dma_sems.at[1])
-                    cp_w.start()
                     cp_a.start()
-                    cp_w.wait()
+                cp_w.wait()
+                if variant == "vd":
+                    return jnp.minimum(bt, w_s[0, :].reshape(1, LEAF) + bt)
                 W = w_res
                 cand_t, cand_idx, cand_u, cand_v = mt_rows(bt, W)
                 imp = cand_t < bt
@@ -187,17 +189,11 @@ def main() -> int:
                     @pl.when(imp_any > 0)
                     def _():
                         sm_ref[0] = sm_ref[0] + 1
-                if variant in ("vres", "vall"):
+                if variant == "vres":
                     gidx = jnp.clip(cand_idx, 0, LEAF - 1)
-                    if variant == "vres":
-                        rows = [a_s[k, 0:LEAF] for k in range(6)]
-                    else:
-                        cp_a.wait()
-                        rows = [a_s[k, 0:LEAF] for k in range(6)]
+                    cp_a.wait()
+                    rows = [a_s[k, 0:LEAF] for k in range(6)]
                     resolve_from(rows, imp, gidx, cand_u, cand_v)
-                if variant == "vdma":
-                    acc_ref[4] = jnp.where(imp, w_s[0, :].reshape(1, LEAF),
-                                           acc_ref[4])
                 return jnp.where(imp, cand_t, bt)
 
             bt0 = jnp.full((8, 128), jnp.float32(3e38))
@@ -209,7 +205,7 @@ def main() -> int:
         return kernel
 
     variants = os.environ.get(
-        "PROBE_MICRO", "v0,vmt,vacc,vred,vdma,vres,vall").split(",")
+        "PROBE_MICRO", "v0,vd,vmt,vacc,vred,vres").split(",")
 
     for variant in variants:
         kern = make_kernel(variant)
