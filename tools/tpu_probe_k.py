@@ -32,8 +32,10 @@ def main() -> int:
     from tracy_tpu.render.integrator import JITTER_BOUNCE
     from tracy_tpu.scene.scn_parser import load_scene
 
-    assert "countrb" in os.environ.get("TRACY_PALLAS_ABLATE", ""), \
-        "set TRACY_PALLAS_ABLATE=countrb (or nogather2,countrb for RBW>1)"
+    ablate = os.environ.get("TRACY_PALLAS_ABLATE", "")
+    counting_visits = "countvisits" in ablate
+    assert "countrb" in ablate or counting_visits, \
+        "set TRACY_PALLAS_ABLATE=countrb|countvisits"
 
     print(f"[kprobe] device: {jax.devices()[0]} rbw={RBW}", flush=True)
     w, h = 640, 480
@@ -78,15 +80,30 @@ def main() -> int:
                 rb_gather=os.environ.get("PROBE_RBG", "take"),
                 rb_mode=os.environ.get("PROBE_RBM", "minloop"))
         )(o, d, act)
-        # countrb writes K into every lane of the t plane.
-        k_per_packet = np.asarray(hit.t).reshape(-1, 1024)[:, 0]
         live = np.asarray(act).reshape(-1, 1024).sum(axis=1)
         sel = live > 0
-        k = k_per_packet[sel]
-        print(f"[kprobe] {label} rbw={RBW}: live_packets={sel.sum()} "
-              f"K mean={k.mean():.1f} p50={np.percentile(k, 50):.0f} "
-              f"p90={np.percentile(k, 90):.0f} max={k.max():.0f} "
-              f"(live rays/packet mean {live[sel].mean():.0f})", flush=True)
+
+        def stats(tag, vals):
+            v = vals[sel]
+            print(f"[kprobe] {label} {tag}: live_packets={sel.sum()} "
+                  f"mean={v.mean():.1f} p50={np.percentile(v, 50):.0f} "
+                  f"p90={np.percentile(v, 90):.0f} max={v.max():.0f} "
+                  f"(live rays/packet mean {live[sel].mean():.0f})",
+                  flush=True)
+
+        if counting_visits:
+            # countvisits writes leaf count -> t plane (masked sentinel
+            # FLT_MAX when 0), inner count -> uv[...,0] (unmasked).
+            leaf = np.asarray(hit.t).reshape(-1, 1024)[:, 0]
+            leaf = np.where(leaf > 1e30, 0.0, leaf)
+            inner = np.asarray(hit.uv[..., 0]).reshape(-1, 1024)[:, 0]
+            stats("leaf ", leaf)
+            stats("inner", inner)
+        else:
+            # countrb writes K into every lane of the t plane.
+            k = np.asarray(hit.t).reshape(-1, 1024)[:, 0]
+            k = np.where(k > 1e30, 0.0, k)
+            stats(f"K rbw={RBW}", k)
 
     print("[kprobe] DONE", flush=True)
     return 0

@@ -60,8 +60,11 @@ from tracy_tpu.accel.packet import PackedBVH, PacketAttrs
 # 'noput2' skips interpolation + output-plane selects (the loop still
 # walks every distinct chunk), 'nobody2' empties the list/arena loop body
 # entirely (skeleton cost only), 'dmaonly2' keeps only the DMA in the
-# list body, 'noresolve2' skips the arena's static resolve. Results are
-# WRONG under ablation — perf bisection only (tools/tpu_probe_r2.py).
+# list body, 'noresolve2' skips the arena's static resolve, 'countvisits'
+# overwrites the t plane with the packet's LEAF visit count and the u
+# plane with its INNER visit count (borrows rbl SMEM slots — minloop
+# rb_mode only). Results are WRONG under ablation — perf bisection only
+# (tools/tpu_probe_r2.py).
 _ABLATE = frozenset(
     x for x in os.environ.get("TRACY_PALLAS_ABLATE", "").split(",") if x
 )
@@ -363,6 +366,9 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
     if rb_mode in ("list", "arena"):
         rbl_ref[0] = 0  # chunk-list count
         rbl_ref[1] = 0  # overflow flag
+    if "countvisits" in _ABLATE:
+        rbl_ref[2] = 0  # leaf visits (probe; minloop only — list/arena
+        rbl_ref[3] = 0  # inner visits  use these slots as entries)
 
     # Slim while-loop carry: (sp, best_t) ONLY. Traversal records just the
     # per-ray WINNER (chunk base + in-chunk slot) in VMEM scratch planes;
@@ -527,6 +533,8 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
             return jnp.min(jnp.where(hit, tmin, jnp.float32(BIG)))
 
         def inner_case(sp_in, bt):
+            if "countvisits" in _ABLATE:
+                rbl_ref[3] = rbl_ref[3] + 1
             left, right = m_first, m_right
             lmin = slab(left)
             rmin = slab(right)
@@ -553,6 +561,8 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
         def leaf_case(sp_in, bt):
             if "noleaf" in _ABLATE:
                 return (sp_in, bt)
+            if "countvisits" in _ABLATE:
+                rbl_ref[2] = rbl_ref[2] + 1
             first = m_first
 
             # The leaf's CHUNK is 128-aligned by construction (build_tables
@@ -928,6 +938,10 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
     if "noout" not in _ABLATE:
         for k in range(2 + num_out):
             out_ref[pkt, 1 + k] = acc_ref[2 + k]
+    if "countvisits" in _ABLATE:
+        one = jnp.full((8, 128), 1.0)
+        out_ref[pkt, 0] = one * rbl_ref[2].astype(jnp.float32)
+        out_ref[pkt, 1] = one * rbl_ref[3].astype(jnp.float32)
 
 
 def _num_out_attrs(has_uv: bool, with_tangent: bool) -> int:
