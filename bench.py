@@ -110,14 +110,18 @@ def main():
         russian_roulette=True, tonemap="srgb", accel="packet",
         ray_chunk=ray_chunk,
         pallas_packets_per_step=int(os.environ.get("TRACY_BENCH_PPS", 2)),
-        # Per-wave live-ray compaction (accel/reorder.py): 4096 measured
-        # best on the dragon frame sweep (tools/tpu_probe_compact.py,
-        # 640x480: 251/218/198/205 ms for 0/2048/4096/8192).
-        wave_compact_group=int(os.environ.get("TRACY_BENCH_COMPACT", 4096)),
+        # Per-wave live-ray compaction (accel/reorder.py). Deep compaction
+        # measured best with the fused readback + dead-packet fast path
+        # (sessions M-O, logs/): 1080p sweep 16384/65536/262144/2097152 =
+        # 2.07/2.22/2.25/2.07 MRays/s.
+        wave_compact_group=int(os.environ.get("TRACY_BENCH_COMPACT", 262144)),
         pallas_rb_window=int(os.environ.get("TRACY_BENCH_RBW", 1)),
         pallas_rb_prefetch=os.environ.get("TRACY_BENCH_RBP", "0") == "1",
         pallas_rb_gather=os.environ.get("TRACY_BENCH_RBG", "take"),
-        pallas_rb_mode=os.environ.get("TRACY_BENCH_RBM", "minloop"),
+        # 'fused' resolves winner attributes at every leaf visit with pure
+        # vector ops — no phase 2, no scalar reads of vector state (the
+        # ~170us/packet drain law, NOTES.md session K).
+        pallas_rb_mode=os.environ.get("TRACY_BENCH_RBM", "fused"),
     )
     r = Renderer(cfg)
     state = init_state(cfg)
