@@ -233,11 +233,13 @@ def test_pallas_rb_list(textured):
 
 
 @pytest.mark.parametrize("textured", [False, True])
-def test_pallas_rb_fused(textured):
-    """The fused readback (per-leaf-visit attribute resolve, pure vector
-    ops, no phase 2) must be bit-identical to the min-extract loop: the
-    last improving visit writes the same interpolated values phase 2
-    would compute for the final winner."""
+@pytest.mark.parametrize("mode", ["fused", "mt"])
+def test_pallas_rb_fused(textured, mode):
+    """The fused ('fused': per-leaf-visit attribute resolve; 'mt':
+    interpolate-then-min-extract inside the MT row loop — zero gathers)
+    readbacks must be bit-identical to the min-extract loop: the last
+    improving visit writes the same interpolated values phase 2 would
+    compute for the final winner."""
     b = default_scene(32, 24)
     if textured:
         tex = b.add_texture(np.full((4, 4, 4), 0.5, np.float32))
@@ -247,7 +249,7 @@ def test_pallas_rb_fused(textured):
     i1 = make_pallas_intersector(scene, bvh, with_tangent=False,
                                  interpret=True)
     if_ = make_pallas_intersector(scene, bvh, with_tangent=False,
-                                  interpret=True, rb_mode="fused")
+                                  interpret=True, rb_mode=mode)
     o, d = _rays_for(scene, 3072, seed=11)
     act = jnp.ones(3072, bool)
     h1, a1 = i1(o, d, act)
@@ -261,8 +263,9 @@ def test_pallas_rb_fused(textured):
                                   np.asarray(af.material))
 
 
-def test_pallas_rb_fused_tangent():
-    """Fused readback with the tangent rows (normal-mapped layout)."""
+@pytest.mark.parametrize("mode", ["fused", "mt"])
+def test_pallas_rb_fused_tangent(mode):
+    """Fused readbacks with the tangent rows (normal-mapped layout)."""
     b = default_scene(32, 24)
     tex = b.add_texture(np.full((4, 4, 4), 0.5, np.float32))
     b.set_material_texture(1, 0, tex)
@@ -271,7 +274,7 @@ def test_pallas_rb_fused_tangent():
     i1 = make_pallas_intersector(scene, bvh, with_tangent=True,
                                  interpret=True)
     if_ = make_pallas_intersector(scene, bvh, with_tangent=True,
-                                  interpret=True, rb_mode="fused")
+                                  interpret=True, rb_mode=mode)
     o, d = _rays_for(scene, 2048, seed=5)
     act = jnp.ones(2048, bool)
     h1, a1 = i1(o, d, act)

@@ -575,21 +575,74 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
 
             cp_w = pltpu.make_async_copy(
                 woop_ref.at[:, pl.ds(chunk_base, LEAF)], w_s, dma_sems.at[0])
-            if rb_mode == "fused":
+            if rb_mode in ("fused", "mt"):
                 # The attribute chunk rides along with the woop chunk: its
-                # DMA overlaps the MT row loop and is only waited on right
-                # before the per-visit resolve.
+                # DMA overlaps the woop wait ('fused' additionally overlaps
+                # the MT row loop and waits right before the resolve; 'mt'
+                # needs the corner columns inside the loop).
                 cp_a = pltpu.make_async_copy(
                     attr_ref.at[:, pl.ds(chunk_base, LEAF)], a_s,
                     dma_sems.at[1])
             if "nodma" not in _ABLATE:
                 cp_w.start()
-                if rb_mode == "fused":
+                if rb_mode in ("fused", "mt"):
                     cp_a.start()
                 cp_w.wait()
+                if rb_mode == "mt":
+                    cp_a.wait()
 
             # Woop coefficient windows as [LEAF, 1] for the pair grid.
             W = [w_s[k, :].reshape(LEAF, 1) for k in range(12)]
+
+            mt_comps = ()
+            if rb_mode == "mt" and "noreadback" not in _ABLATE:
+                # rb_mode='mt': winner attributes are extracted INSIDE the
+                # MT row loop by the same masked-min trick as u/v, from
+                # per-triangle corner COLUMNS — zero dynamic gathers. The
+                # 'fused' mode's per-visit resolve is pure vector ops too,
+                # but its 6-17 take_along_axis gathers measured ~2.6us per
+                # leaf visit (the incoherent-wave dominator, 72% of live
+                # packet cost); interpolate-then-min-extract rides the
+                # one-hot masks the loop already builds for a few FMAs and
+                # one extra sublane reduction per attribute component.
+                def acol(k):  # attr row k as a [LEAF, 1] column
+                    return a_s[k, :].reshape(LEAF, 1)
+
+                mat_row = 6 if has_uv else 0
+                n_base = mat_row + 1
+                t_base = n_base + (5 if rb_packed else 9)
+
+                def corner_col(base, j):
+                    # component j of a 9-value corner list (see resolve()).
+                    if not rb_packed:
+                        return acol(base + j)
+                    bits = jax.lax.bitcast_convert_type(
+                        acol(base + j // 2), jnp.uint32
+                    )
+                    if j % 2 == 0:
+                        bits = bits & jnp.uint32(0xFFFF0000)
+                    else:
+                        bits = bits << 16
+                    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+                # (c0, c1, c2) corner-column triples in OUTPUT-PLANE order
+                # (the resolve()'s put sequence): normal3 [, uv2], mat
+                # [, tangent3]. mat is per-triangle (no interpolation).
+                comps = []
+                for c in range(3):
+                    comps.append((corner_col(n_base, c),
+                                  corner_col(n_base, 3 + c),
+                                  corner_col(n_base, 6 + c)))
+                if has_uv:
+                    for c in range(2):
+                        comps.append((acol(c), acol(2 + c), acol(4 + c)))
+                comps.append((acol(mat_row), None, None))
+                if with_tangent:
+                    for c in range(3):
+                        comps.append((corner_col(t_base, c),
+                                      corner_col(t_base, 3 + c),
+                                      corner_col(t_base, 6 + c)))
+                mt_comps = tuple(comps)
 
             lane_ok = (sub_iota >= sub_off) & (sub_iota < sub_off + m_count)
 
@@ -601,7 +654,7 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
             best_t_plane = bt
 
             def row_body(r, carry):
-                cand_t, cand_idx, cand_u, cand_v = carry
+                cand_t, cand_idx, cand_u, cand_v, cand_att = carry
                 r_mask = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == r
 
                 def row(plane):  # row r of [8,128] without dynamic_slice
@@ -646,19 +699,43 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
                 cand_idx = jnp.where(upd, win_idx[None, :], cand_idx)
                 cand_u = jnp.where(upd, u_row[None, :], cand_u)
                 cand_v = jnp.where(upd, v_row[None, :], cand_v)
-                return (cand_t, cand_idx, cand_u, cand_v)
+                if mt_comps:
+                    # Interpolate on the [LEAF, 128] grid, then min-extract
+                    # the single winning slot per lane (oh1 is one-hot per
+                    # column; any value < BIG extracts exactly). Numerics
+                    # match resolve(): same w*c0 + u*c1 + v*c2 FMA order on
+                    # the same (bf16-unpacked) corner values.
+                    wbar = 1.0 - uu - vv
+                    new_att = []
+                    for (c0, c1, c2), plane in zip(mt_comps, cand_att):
+                        val = c0 if c1 is None else (
+                            wbar * c0 + uu * c1 + vv * c2
+                        )
+                        a_row = jnp.min(
+                            jnp.where(oh1, val, jnp.float32(BIG)), axis=0
+                        )
+                        new_att.append(
+                            jnp.where(upd, a_row[None, :], plane)
+                        )
+                    cand_att = tuple(new_att)
+                return (cand_t, cand_idx, cand_u, cand_v, cand_att)
 
+            att0 = tuple(
+                jnp.zeros((8, 128), jnp.float32) for _ in mt_comps
+            )
             if "nomt" in _ABLATE:
                 cand_t = jnp.full((8, 128), jnp.float32(BIG)) - ox
                 cand_idx = jnp.zeros((8, 128), jnp.int32)
                 cand_u = cand_v = jnp.zeros((8, 128), jnp.float32)
+                cand_att = att0
             else:
-                cand_t, cand_idx, cand_u, cand_v = jax.lax.fori_loop(
+                cand_t, cand_idx, cand_u, cand_v, cand_att = jax.lax.fori_loop(
                     0, 8, row_body,
                     (jnp.full((8, 128), jnp.float32(BIG)),
                      jnp.full((8, 128), jnp.int32(LEAF)),
                      jnp.zeros((8, 128), jnp.float32),
-                     jnp.zeros((8, 128), jnp.float32)),
+                     jnp.zeros((8, 128), jnp.float32),
+                     att0),
                 )
 
             imp = cand_t < best_t_plane  # [8, 128]
@@ -668,6 +745,11 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
             acc_ref[1] = jnp.where(imp, cand_idx.astype(jnp.float32), acc_ref[1])
             acc_ref[2] = jnp.where(imp, cand_u, acc_ref[2])
             acc_ref[3] = jnp.where(imp, cand_v, acc_ref[3])
+            if mt_comps:
+                # 'mt' readback: the loop already extracted the winner's
+                # interpolated attributes — commit the improving lanes.
+                for k, plane in enumerate(cand_att):
+                    acc_ref[4 + k] = jnp.where(imp, plane, acc_ref[4 + k])
             if rb_mode in ("list", "arena"):
                 # Append this chunk to the phase-2 candidate list when the
                 # visit improved any lane (scalar SMEM ops, consecutive-dup
@@ -736,8 +818,9 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
     # tree order, so nearby rays' winners share windows). Per iteration:
     # ONE fused-table DMA + 6|12|17 in-row gathers over the window (u/v
     # came from phase 1; bf16 pairs unpack with bit ops after one gather).
-    # rb_mode='fused' has no phase 2: it resolves at every leaf visit.
-    if "noreadback" not in _ABLATE and rb_mode != "fused":
+    # rb_mode='fused'/'mt' have no phase 2: 'fused' resolves at every leaf
+    # visit; 'mt' extracts inside the MT row loop itself.
+    if "noreadback" not in _ABLATE and rb_mode not in ("fused", "mt"):
         def next_chunk():
             wc = acc_ref[0]
             return jnp.min(jnp.where(wc >= 0.0, wc, jnp.float32(BIG)))
@@ -987,13 +1070,13 @@ def pallas_intersect(
             "(build_tables(pack_pairs=False)): packed bf16-pair bit "
             "patterns can be denormal f32s, which the MXU flushes"
         )
-    if rb_mode not in ("minloop", "list", "arena", "fused"):
+    if rb_mode not in ("minloop", "list", "arena", "fused", "mt"):
         raise ValueError(
-            "rb_mode must be 'minloop', 'list', 'arena' or 'fused', got "
-            f"{rb_mode!r}"
+            "rb_mode must be 'minloop', 'list', 'arena', 'fused' or 'mt', "
+            f"got {rb_mode!r}"
         )
-    if rb_mode in ("list", "arena", "fused") and (rb_window != 1
-                                                  or rb_prefetch):
+    if rb_mode in ("list", "arena", "fused", "mt") and (rb_window != 1
+                                                        or rb_prefetch):
         raise ValueError(
             f"rb_mode={rb_mode!r} resolves one 128-slot chunk at a time: "
             "requires rb_window=1 and rb_prefetch=False"
