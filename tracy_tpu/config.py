@@ -106,7 +106,11 @@ class RenderConfig:
     # pure vector ops — no phase 2, no scalar read of vector state
     # anywhere (any such read drains the vector pipeline: the measured
     # ~170us/packet incoherent-wave dominator that the other modes only
-    # relocated). 'list'/'arena'/'fused' require rb_window=1, no prefetch.
+    # relocated); 'mt' goes further and min-extracts the interpolated
+    # attributes INSIDE the MT row loop via its one-hot winner masks —
+    # zero dynamic gathers ('fused''s per-visit take_along_axis resolve
+    # measured ~2.6us/leaf visit, 72% of incoherent live-packet cost).
+    # 'list'/'arena'/'fused'/'mt' require rb_window=1, no prefetch.
     pallas_rb_mode: str = "minloop"
 
     # RNG algorithm (reference CPU_RAND_ALGORITHM).
@@ -166,12 +170,13 @@ class RenderConfig:
                 "pallas_rb_window > 1 requires pallas_rb_gather='onehot' "
                 "(Mosaic's dynamic gather is in-tile / 128 lanes)"
             )
-        if self.pallas_rb_mode not in ("minloop", "list", "arena", "fused"):
+        if self.pallas_rb_mode not in ("minloop", "list", "arena", "fused",
+                                       "mt"):
             raise ValueError(
-                "pallas_rb_mode must be 'minloop', 'list', 'arena' or "
-                f"'fused', got {self.pallas_rb_mode!r}"
+                "pallas_rb_mode must be 'minloop', 'list', 'arena', "
+                f"'fused' or 'mt', got {self.pallas_rb_mode!r}"
             )
-        if self.pallas_rb_mode in ("list", "arena", "fused") and (
+        if self.pallas_rb_mode in ("list", "arena", "fused", "mt") and (
                 rbw != 1 or self.pallas_rb_prefetch):
             raise ValueError(
                 f"pallas_rb_mode={self.pallas_rb_mode!r} requires "

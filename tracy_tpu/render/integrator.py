@@ -119,6 +119,8 @@ def trace_paths(
     sample_key: jnp.ndarray,  # [] or [N] frame/sample counter for the RNG
     cfg: RenderConfig,
     intersect_fn: IntersectFn,
+    active0: jnp.ndarray = None,  # [N] bool; None = all live. Dead lanes
+    # (tile-padding rows) are never counted and contribute no radiance.
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Trace N paths; returns (radiance [N, 3], ray_count scalar)."""
     n = origin.shape[0]
@@ -132,7 +134,7 @@ def trace_paths(
         direction=direction,
         throughput=jnp.ones((n, 3), dtype=origin.dtype),
         radiance=jnp.zeros((n, 3), dtype=origin.dtype),
-        alive=jnp.ones((n,), dtype=bool),
+        alive=(jnp.ones((n,), dtype=bool) if active0 is None else active0),
         ray_count=jnp.zeros((), dtype=jnp.int32),
     )
 

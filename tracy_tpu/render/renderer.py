@@ -71,30 +71,47 @@ def sample_radiance_rows(
         intersect_fn = make_bruteforce_intersector(scene)
 
     rng = RngSpec(cfg.rng, cfg.seed)
-    rows = row_offset + jnp.arange(num_rows, dtype=jnp.int32)  # global rows
-    cols = jnp.arange(w, dtype=jnp.int32)
-    pixel_idx = (rows[:, None] * w + cols[None, :]).astype(jnp.uint32)
 
     # Tile the pixel order so each traversal packet covers a square image
     # tile instead of a thin scanline strip — much smaller BVH footprint per
     # packet. Pure reshape/transpose (zero gathers); untile() restores image
-    # order. Tiles are 32x32 = one 1024-ray packet.
+    # order. Tiles are 32x32 = one 1024-ray packet. Row bands that are NOT
+    # a tile multiple (1080 % 32 = 24: the 1080p headline!) are PADDED with
+    # dead rows — otherwise they silently degrade to 1024x1 scanline
+    # packets, each with a huge BVH footprint (measured ~10% frame cost at
+    # 1080p even before visit-count effects). Pad lanes trace dead: not
+    # ray-counted, results discarded.
     tile = 32
+    rpad = 0
+    if cfg.accel in ("packet", "tlas") and w % tile == 0 and num_rows % tile:
+        rpad = (-num_rows) % tile
+    rows_r = num_rows + rpad
+    rows = row_offset + jnp.arange(rows_r, dtype=jnp.int32)  # global rows
+    cols = jnp.arange(w, dtype=jnp.int32)
+    pixel_idx = (rows[:, None] * w + cols[None, :]).astype(jnp.uint32)
+    live_rows = (
+        jnp.broadcast_to(
+            (jnp.arange(rows_r, dtype=jnp.int32) < num_rows)[:, None],
+            (rows_r, w),
+        )
+        if rpad
+        else None
+    )
     use_tiles = (
-        cfg.accel in ("packet", "tlas") and num_rows % tile == 0 and w % tile == 0
+        cfg.accel in ("packet", "tlas") and rows_r % tile == 0 and w % tile == 0
     )
 
     def tile_fold(x):  # [R, W, ...] -> [R*W, ...] in tile-major order
         extra = x.shape[2:]
-        x = x.reshape((num_rows // tile, tile, w // tile, tile) + extra)
+        x = x.reshape((rows_r // tile, tile, w // tile, tile) + extra)
         x = jnp.swapaxes(x, 1, 2)
-        return x.reshape((num_rows * w,) + extra)
+        return x.reshape((rows_r * w,) + extra)
 
     def tile_unfold(x):  # inverse of tile_fold
         extra = x.shape[1:]
-        x = x.reshape((num_rows // tile, w // tile, tile, tile) + extra)
+        x = x.reshape((rows_r // tile, w // tile, tile, tile) + extra)
         x = jnp.swapaxes(x, 1, 2)
-        return x.reshape((num_rows, w) + extra)
+        return x.reshape((rows_r, w) + extra)
 
     def one_sample(s):
         sample_key = frame.astype(jnp.uint32) * jnp.uint32(total_spp) + s.astype(jnp.uint32)
@@ -107,36 +124,42 @@ def sample_radiance_rows(
             origin = tile_fold(origin)
             direction = tile_fold(direction)
             flat_pix = tile_fold(pixel_idx)
+            alive0 = tile_fold(live_rows) if rpad else None
         else:
             origin = origin.reshape(-1, 3)
             direction = direction.reshape(-1, 3)
             flat_pix = pixel_idx.reshape(-1)
+            alive0 = live_rows.reshape(-1) if rpad else None
 
         if cfg.aov != "beauty":
             radiance = trace_aov(scene, origin, direction, cfg, intersect_fn)
             rays = jnp.asarray(num_rows * w, dtype=jnp.int32)
         else:
-            def run(o, d, pix):
-                return trace_paths(scene, o, d, pix, sample_key, cfg, intersect_fn)
+            def run(o, d, pix, act):
+                return trace_paths(scene, o, d, pix, sample_key, cfg,
+                                   intersect_fn, active0=act)
 
             n = origin.shape[0]
             chunk = cfg.ray_chunk
             if 0 < chunk < n and n % chunk == 0:
                 k = n // chunk
+                act_c = (alive0 if alive0 is not None
+                         else jnp.ones((n,), bool)).reshape(k, chunk)
                 rad_c, rays_c = jax.lax.map(
                     lambda args: run(*args),
                     (
                         origin.reshape(k, chunk, 3),
                         direction.reshape(k, chunk, 3),
                         flat_pix.reshape(k, chunk),
+                        act_c,
                     ),
                 )
                 radiance, rays = rad_c.reshape(n, 3), jnp.sum(rays_c)
             else:
-                radiance, rays = run(origin, direction, flat_pix)
+                radiance, rays = run(origin, direction, flat_pix, alive0)
         if use_tiles:
-            return tile_unfold(radiance), rays
-        return radiance.reshape(num_rows, w, 3), rays
+            return tile_unfold(radiance)[:num_rows], rays
+        return radiance.reshape(rows_r, w, 3)[:num_rows], rays
 
     if spp_count == 1:
         return one_sample(jnp.asarray(spp_offset, jnp.uint32))
