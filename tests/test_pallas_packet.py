@@ -75,7 +75,8 @@ def test_pallas_slim_untextured():
                                       with_tangent=False)
     isect_p = make_pallas_intersector(scene, bvh, with_tangent=False,
                                       interpret=True)
-    assert isect_p.tables.attrs.shape[0] == 8  # mat + 5 normal-pair rows
+    # fused table = 16 woop rows + (mat + 5 normal-pair rows -> pad8 = 8)
+    assert isect_p.tables.tab.shape[0] == 16 + 8
     assert not isect_p.tables.has_uv
 
     n = 2048

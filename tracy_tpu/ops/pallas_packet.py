@@ -72,6 +72,13 @@ _ABLATE = frozenset(
 LEAF = 128  # static leaf window; every leaf owns an ALIGNED 128-slot chunk
 # (Mosaic vector loads from the lane dimension must be 128-aligned)
 PACKET = 1024  # rays per packet: [8, 128]
+# Rows 0..11 of the fused per-triangle table are the Woop transform
+# (pad8 -> 16); attribute rows start here. Attrs ride in the SAME
+# HBM array so a leaf visit is ONE DMA + ONE wait: a second per-visit
+# semaphore wait measured ~2.6us (it drains the in-flight vector chain,
+# the same law as scalar reads of vector state) — 170us/packet at
+# incoherence, the round-2 session-P dominator.
+WOOP_ROWS = 16
 # rb_mode='list'/'arena' chunk-list capacity (SMEM i32 entries per packet).
 # Sized above the worst measured improving-leaf-visit count; overflow falls
 # back to the min-extract loop (correct, just slower).
@@ -96,15 +103,15 @@ class PallasSceneTables:
 
     node_bounds: jnp.ndarray  # [Nn, 8] f32
     node_meta: jnp.ndarray  # [Nn, 4] i32
-    woop: jnp.ndarray  # [12, Tpad] f32 Woop affine rows: (R_k0,R_k1,R_k2,b_k) k=0..2
-    # Fused attribute table, ONE DMA per winner readback: uv corners
-    # (6 f32 rows, ONLY when some non-sky material has a texture), material
-    # (1 f32 row), then bf16 PAIRS bitcast into f32 lanes ((hi<<16)|lo):
-    # normal corners 9 -> 5 rows[, tangent corners 9 -> 5 rows]. bf16
-    # packing halves the per-chunk gather count (the readback dominator; a
-    # bf16 value is exactly the top half of an f32). Untextured scenes
-    # (dragon, cornell) thus pay 6 gathers/chunk instead of 12.
-    attrs: jnp.ndarray  # [6|12|17 -> pad8 = 8|16|24, Tpad] f32
+    # ONE fused per-triangle HBM table. Rows 0..11 (pad8 -> WOOP_ROWS=16):
+    # Woop affine rows (R_k0,R_k1,R_k2,b_k) k=0..2. Rows 16..: attributes —
+    # uv corners (6 f32 rows, ONLY when some non-sky material has a
+    # texture), material (1 f32 row), then bf16 PAIRS bitcast into f32
+    # lanes ((hi<<16)|lo): normal corners 9 -> 5 rows[, tangent corners
+    # 9 -> 5 rows]. bf16 packing halves the per-chunk readback work (a
+    # bf16 value is exactly the top half of an f32). One array so a leaf
+    # visit is ONE DMA + ONE semaphore wait (see WOOP_ROWS).
+    tab: jnp.ndarray  # [16 + (8|16|24), Tpad] f32
     # Host-side slot -> original triangle id (not a kernel input): consumed
     # by the winner-recompute differentiable intersector (diff/gradients.py)
     # to map the kernel's winner-slot output back to scene.indices rows.
@@ -121,8 +128,7 @@ class PallasSceneTables:
 
     def tree_flatten(self):
         return (
-            (self.node_bounds, self.node_meta, self.woop, self.attrs,
-             self.slot_tri),
+            (self.node_bounds, self.node_meta, self.tab, self.slot_tri),
             (self.has_uv, self.has_tangent, self.packed),
         )
 
@@ -285,13 +291,14 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool,
         return arr
 
     woop = pad8(woop)
+    assert woop.shape[0] == WOOP_ROWS
     attrs = pad8(attrs)
+    tab = np.concatenate([woop, attrs], axis=0)
 
     return PallasSceneTables(
         node_bounds=jnp.asarray(np.asarray(bvh.node_bounds, np.float32)),
         node_meta=jnp.asarray(meta.astype(np.int32)),
-        woop=jnp.asarray(woop),
-        attrs=jnp.asarray(attrs),
+        tab=jnp.asarray(tab),
         slot_tri=jnp.asarray(np.where(valid, order, 0).astype(np.int32)),
         has_uv=has_uv,
         has_tangent=with_tangent,
@@ -299,7 +306,7 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool,
     )
 
 
-def _kernel(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
+def _kernel(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
             stack_ref, w_s, a_s, a_s2, acc_ref, rbl_ref, dma_sems,
             *, stack_depth: int, has_uv: bool, with_tangent: bool,
             num_out: int, packets_per_step: int, rb_window: int,
@@ -322,7 +329,7 @@ def _kernel(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
 
         @pl.when(any_live)
         def _(pkt=pkt):
-            _packet_body(nb_ref, nm_ref, woop_ref, attr_ref,
+            _packet_body(nb_ref, nm_ref, tab_ref,
                          rays_ref, out_ref, pkt, stack_ref, w_s, a_s, a_s2,
                          acc_ref, rbl_ref, dma_sems, stack_depth=stack_depth,
                          has_uv=has_uv, with_tangent=with_tangent,
@@ -339,7 +346,7 @@ def _kernel(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
             out_ref[pkt, 3 + num_out] = zero - 1.0  # winner slot: none
 
 
-def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
+def _packet_body(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
                  pkt, stack_ref, w_s, a_s, a_s2, acc_ref, rbl_ref, dma_sems,
                  *, stack_depth: int, has_uv: bool, with_tangent: bool,
                  num_out: int, rb_window: int, rb_prefetch: bool,
@@ -573,23 +580,19 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
             chunk_base = pl.multiple_of((first // LEAF) * LEAF, LEAF)
             sub_off = first - chunk_base
 
+            # ONE DMA + ONE wait per leaf visit. For 'fused'/'mt' the w_s
+            # scratch covers the WHOLE fused table (woop rows 0..15 +
+            # attribute rows 16..): the attributes ride in the same copy.
+            # A SECOND make_async_copy + wait per visit measured ~2.6us
+            # (the wait drains the in-flight vector chain — session P
+            # ablation: mt-noreadback 236us/packet vs fused-noreadback
+            # 66us differed ONLY by the extra cp_a.wait()).
             cp_w = pltpu.make_async_copy(
-                woop_ref.at[:, pl.ds(chunk_base, LEAF)], w_s, dma_sems.at[0])
-            if rb_mode in ("fused", "mt"):
-                # The attribute chunk rides along with the woop chunk: its
-                # DMA overlaps the woop wait ('fused' additionally overlaps
-                # the MT row loop and waits right before the resolve; 'mt'
-                # needs the corner columns inside the loop).
-                cp_a = pltpu.make_async_copy(
-                    attr_ref.at[:, pl.ds(chunk_base, LEAF)], a_s,
-                    dma_sems.at[1])
+                tab_ref.at[pl.ds(0, w_s.shape[0]), pl.ds(chunk_base, LEAF)],
+                w_s, dma_sems.at[0])
             if "nodma" not in _ABLATE:
                 cp_w.start()
-                if rb_mode in ("fused", "mt"):
-                    cp_a.start()
                 cp_w.wait()
-                if rb_mode == "mt":
-                    cp_a.wait()
 
             # Woop coefficient windows as [LEAF, 1] for the pair grid.
             W = [w_s[k, :].reshape(LEAF, 1) for k in range(12)]
@@ -606,7 +609,7 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
                 # one-hot masks the loop already builds for a few FMAs and
                 # one extra sublane reduction per attribute component.
                 def acol(k):  # attr row k as a [LEAF, 1] column
-                    return a_s[k, :].reshape(LEAF, 1)
+                    return w_s[WOOP_ROWS + k, :].reshape(LEAF, 1)
 
                 mat_row = 6 if has_uv else 0
                 n_base = mat_row + 1
@@ -785,15 +788,12 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
                     )
             if rb_mode == "fused" and "noreadback" not in _ABLATE:
                 # Per-visit winner readback, PURE vector ops: the chunk's
-                # attributes are already in VMEM (cp_a), the winning slot's
-                # values come out by in-row gather under the improved mask,
-                # and nothing scalar ever reads vector state — so the
-                # scalar pipe keeps running ahead (a scalar read after the
-                # MT fori measured ~0.85us/visit of pipeline drain; a
-                # phase-2 loop ~7us per distinct chunk).
-                if "nodma" not in _ABLATE:
-                    cp_a.wait()
-                resolve(a_s[:, :], imp,
+                # attributes arrived with the woop rows in the single
+                # visit DMA, the winning slot's values come out by in-row
+                # gather under the improved mask, and nothing scalar ever
+                # reads vector state — so the scalar pipe keeps running
+                # ahead.
+                resolve(w_s[WOOP_ROWS:, :], imp,
                         jnp.clip(cand_idx, 0, LEAF - 1), cand_u, cand_v)
             return (sp_in, jnp.where(imp, cand_t, bt))
 
@@ -855,7 +855,7 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
                 dst = (a_s.at[:, pl.ds(0, WW)] if rb_mode == "arena"
                        else a_s)
                 cp_a = pltpu.make_async_copy(
-                    attr_ref.at[:, pl.ds(win_base, WW)], dst, dma_sems.at[1])
+                    tab_ref.at[pl.ds(WOOP_ROWS, a_s.shape[0]), pl.ds(win_base, WW)], dst, dma_sems.at[1])
                 if "nodma2" not in _ABLATE:
                     cp_a.start()
                     cp_a.wait()
@@ -883,7 +883,7 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
                     return carry
                 base = pl.multiple_of(rbl_ref[i + 2], LEAF)
                 cp_a = pltpu.make_async_copy(
-                    attr_ref.at[:, pl.ds(base, LEAF)], a_s, dma_sems.at[1])
+                    tab_ref.at[pl.ds(WOOP_ROWS, a_s.shape[0]), pl.ds(base, LEAF)], a_s, dma_sems.at[1])
                 if "nodma2" not in _ABLATE:
                     cp_a.start()
                     cp_a.wait()
@@ -927,7 +927,7 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
                 def cp(i):
                     base = pl.multiple_of(rbl_ref[i + 2], LEAF)
                     return pltpu.make_async_copy(
-                        attr_ref.at[:, pl.ds(base, LEAF)],
+                        tab_ref.at[pl.ds(WOOP_ROWS, a_s.shape[0]), pl.ds(base, LEAF)],
                         a_s.at[:, pl.ds((i - b0) * LEAF, LEAF)],
                         dma_sems.at[1])
 
@@ -988,7 +988,7 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
                 wbA, selA, gixA = win_of(cur)
                 uA, vA = acc_ref[2], acc_ref[3]
                 cpA = pltpu.make_async_copy(
-                    attr_ref.at[:, pl.ds(wbA, WW)], a_s, dma_sems.at[1])
+                    tab_ref.at[pl.ds(WOOP_ROWS, a_s.shape[0]), pl.ds(wbA, WW)], a_s, dma_sems.at[1])
                 cpA.start()
                 acc_ref[0] = jnp.where(selA, jnp.float32(-2.0), acc_ref[0])
                 nxt = next_chunk()
@@ -997,7 +997,7 @@ def _packet_body(nb_ref, nm_ref, woop_ref, attr_ref, rays_ref, out_ref,
                 selB = selB & has_b
                 uB, vB = acc_ref[2], acc_ref[3]
                 cpB = pltpu.make_async_copy(
-                    attr_ref.at[:, pl.ds(wbB, WW)], a_s2, dma_sems.at[2])
+                    tab_ref.at[pl.ds(WOOP_ROWS, a_s.shape[0]), pl.ds(wbB, WW)], a_s2, dma_sems.at[2])
 
                 @pl.when(has_b)
                 def _():
@@ -1095,10 +1095,16 @@ def pallas_intersect(
         rb_packed=tables.packed, rb_mode=rb_mode,
     )
 
-    def kernel_wrap(nb, nm, woop, attrs, rays_blk, out_blk,
+    def kernel_wrap(nb, nm, tab, rays_blk, out_blk,
                     stack, w_s, a_s, a_s2, acc, rbl, sems):
-        kernel(nb, nm, woop, attrs, rays_blk, out_blk,
+        kernel(nb, nm, tab, rays_blk, out_blk,
                stack, w_s, a_s, a_s2, acc, rbl, sems)
+
+    attr_rows = tables.tab.shape[0] - WOOP_ROWS
+    # 'fused'/'mt' DMA the whole fused-table chunk into w_s (one copy, one
+    # wait per leaf visit); the phase-2 modes copy only the woop rows and
+    # window attribute rows into a_s during phase 2.
+    w_rows = tables.tab.shape[0] if rb_mode in ("fused", "mt") else WOOP_ROWS
 
     out = pl.pallas_call(
         kernel_wrap,
@@ -1114,7 +1120,6 @@ def pallas_intersect(
                          memory_space=pltpu.VMEM,
                          pipeline_mode=pl.Buffered(buffer_count=1)),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((pps, 7, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -1122,19 +1127,18 @@ def pallas_intersect(
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((stack_depth,), jnp.int32),
-            pltpu.VMEM((tables.woop.shape[0], LEAF), jnp.float32),
-            pltpu.VMEM((tables.attrs.shape[0],
+            pltpu.VMEM((w_rows, LEAF), jnp.float32),
+            pltpu.VMEM((attr_rows,
                         (ARENA_BATCH if rb_mode == "arena" else rb_window)
                         * LEAF), jnp.float32),
-            pltpu.VMEM((tables.attrs.shape[0], rb_window * LEAF),
-                       jnp.float32),
+            pltpu.VMEM((attr_rows, rb_window * LEAF), jnp.float32),
             pltpu.VMEM((4 + na + (1 if rb_mode == "arena" else 0), 8, 128),
                        jnp.float32),
             pltpu.SMEM((LIST_CAP + 2,), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
-    )(tables.node_bounds, tables.node_meta, tables.woop, tables.attrs, rays)
+    )(tables.node_bounds, tables.node_meta, tables.tab, rays)
 
     def flat(p):
         return out[:, p].reshape(npad)[:n]
