@@ -234,7 +234,7 @@ def test_pallas_rb_list(textured):
 
 
 @pytest.mark.parametrize("textured", [False, True])
-@pytest.mark.parametrize("mode", ["fused", "mt"])
+@pytest.mark.parametrize("mode", ["fused", "mt", "vlist"])
 def test_pallas_rb_fused(textured, mode):
     """The fused ('fused': per-leaf-visit attribute resolve; 'mt':
     interpolate-then-min-extract inside the MT row loop — zero gathers)
@@ -372,7 +372,8 @@ def test_pallas_rb_arena_multibatch_and_overflow(monkeypatch):
                                   np.asarray(ao.material))
 
 
-def test_pallas_rb_list_overflow(monkeypatch):
+@pytest.mark.parametrize("mode", ["list", "vlist"])
+def test_pallas_rb_list_overflow(monkeypatch, mode):
     """With a tiny LIST_CAP the overflow flag trips and the min-extract
     fallback must still resolve every winner exactly."""
     import tracy_tpu.ops.pallas_packet as pp
@@ -383,7 +384,7 @@ def test_pallas_rb_list_overflow(monkeypatch):
                                  interpret=True)
     monkeypatch.setattr(pp, "LIST_CAP", 2)
     il = make_pallas_intersector(scene, bvh, with_tangent=False,
-                                 interpret=True, rb_mode="list")
+                                 interpret=True, rb_mode=mode)
     o, d = _rays_for(scene, 2048, seed=13)
     act = jnp.ones(2048, bool)
     h1, a1 = i1(o, d, act)

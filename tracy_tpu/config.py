@@ -170,13 +170,14 @@ class RenderConfig:
                 "pallas_rb_window > 1 requires pallas_rb_gather='onehot' "
                 "(Mosaic's dynamic gather is in-tile / 128 lanes)"
             )
-        if self.pallas_rb_mode not in ("minloop", "list", "arena", "fused",
-                                       "mt"):
+        if self.pallas_rb_mode not in ("minloop", "list", "arena", "vlist",
+                                       "fused", "mt"):
             raise ValueError(
                 "pallas_rb_mode must be 'minloop', 'list', 'arena', "
-                f"'fused' or 'mt', got {self.pallas_rb_mode!r}"
+                f"'vlist', 'fused' or 'mt', got {self.pallas_rb_mode!r}"
             )
-        if self.pallas_rb_mode in ("list", "arena", "fused", "mt") and (
+        if self.pallas_rb_mode in ("list", "arena", "vlist", "fused",
+                                   "mt") and (
                 rbw != 1 or self.pallas_rb_prefetch):
             raise ValueError(
                 f"pallas_rb_mode={self.pallas_rb_mode!r} requires "

@@ -370,7 +370,7 @@ def _packet_body(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
     ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
     stack_ref[0] = 0
-    if rb_mode in ("list", "arena"):
+    if rb_mode in ("list", "arena", "vlist"):
         rbl_ref[0] = 0  # chunk-list count
         rbl_ref[1] = 0  # overflow flag
     if "countvisits" in _ABLATE:
@@ -587,9 +587,16 @@ def _packet_body(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
             # (the wait drains the in-flight vector chain — session P
             # ablation: mt-noreadback 236us/packet vs fused-noreadback
             # 66us differed ONLY by the extra cp_a.wait()).
+            # 'dma16' ablation: copy only the woop rows even when w_s
+            # covers the whole fused table (fused/mt results then read
+            # stale attr rows — timing bisection of the DMA row count).
+            rows_dma = (WOOP_ROWS if "dma16" in _ABLATE and
+                        w_s.shape[0] > WOOP_ROWS else w_s.shape[0])
+            dst = (w_s if rows_dma == w_s.shape[0]
+                   else w_s.at[pl.ds(0, rows_dma), :])
             cp_w = pltpu.make_async_copy(
-                tab_ref.at[pl.ds(0, w_s.shape[0]), pl.ds(chunk_base, LEAF)],
-                w_s, dma_sems.at[0])
+                tab_ref.at[pl.ds(0, rows_dma), pl.ds(chunk_base, LEAF)],
+                dst, dma_sems.at[0])
             if "nodma" not in _ABLATE:
                 cp_w.start()
                 cp_w.wait()
@@ -753,20 +760,28 @@ def _packet_body(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
                 # interpolated attributes — commit the improving lanes.
                 for k, plane in enumerate(cand_att):
                     acc_ref[4 + k] = jnp.where(imp, plane, acc_ref[4 + k])
-            if rb_mode in ("list", "arena"):
-                # Append this chunk to the phase-2 candidate list when the
-                # visit improved any lane (scalar SMEM ops, consecutive-dup
-                # suppressed). The final winner chunk of every lane is the
-                # chunk of its LAST improving visit, so (absent overflow)
-                # the list is a superset of the distinct winner chunks —
-                # phase 2 then runs as a counter-bounded fori with NO
-                # vector->scalar extraction in its control path (the
-                # min-extract loop's serial chain measured ~7us/iteration).
-                imp_any = jnp.max(imp.astype(jnp.int32))
+            if rb_mode in ("list", "arena", "vlist"):
+                # Append this chunk to the phase-2 candidate list (scalar
+                # SMEM ops, consecutive-dup suppressed). The final winner
+                # chunk of every lane is the chunk of its LAST improving
+                # visit, so (absent overflow) the list is a superset of the
+                # distinct winner chunks — phase 2 then runs as a counter-
+                # bounded loop with NO vector->scalar extraction in its
+                # control path. 'list'/'arena' gate the append on "did this
+                # visit improve any lane" — but that imp_any read IS a
+                # vector->scalar sync (~0.85us/visit, session K). 'vlist'
+                # appends EVERY leaf visit unconditionally: chunk_base and
+                # the counter are pure scalars, so traversal never touches
+                # vector state; the longer list is cheap because its phase
+                # 2 batches DMAs and resolves statically (arena-style).
                 kk = rbl_ref[0]
                 prev = rbl_ref[kk + 1]  # entry kk-1 (rbl_ref[1]=ovf if kk==0)
                 dup = jnp.logical_and(kk > 0, prev == chunk_base)
-                want = jnp.logical_and(imp_any > 0, jnp.logical_not(dup))
+                if rb_mode == "vlist":
+                    want = jnp.logical_not(dup)
+                else:
+                    imp_any = jnp.max(imp.astype(jnp.int32))
+                    want = jnp.logical_and(imp_any > 0, jnp.logical_not(dup))
 
                 @pl.when(jnp.logical_and(want, kk < LIST_CAP))
                 def _():
@@ -852,14 +867,14 @@ def _packet_body(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
                 win_base, sel, gidx = win_of(cur)
                 # arena mode sizes a_s to ARENA_BATCH chunks; the fallback
                 # minloop only uses its first WW lanes.
-                dst = (a_s.at[:, pl.ds(0, WW)] if rb_mode == "arena"
-                       else a_s)
+                dst = (a_s.at[:, pl.ds(0, WW)]
+                       if rb_mode in ("arena", "vlist") else a_s)
                 cp_a = pltpu.make_async_copy(
                     tab_ref.at[pl.ds(WOOP_ROWS, a_s.shape[0]), pl.ds(win_base, WW)], dst, dma_sems.at[1])
                 if "nodma2" not in _ABLATE:
                     cp_a.start()
                     cp_a.wait()
-                buf = a_s[:, 0:WW] if rb_mode == "arena" else a_s
+                buf = a_s[:, 0:WW] if rb_mode in ("arena", "vlist") else a_s
                 resolve(buf, sel, gidx, acc_ref[2], acc_ref[3])
                 # mark processed; advance to the next distinct chunk.
                 acc_ref[0] = jnp.where(sel, jnp.float32(-2.0), acc_ref[0])
@@ -970,6 +985,68 @@ def _packet_body(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
                 out_ref[pkt, 0] = jnp.full((8, 128), 1.0) * (
                     kk + 1000 * rbl_ref[1]
                 ).astype(jnp.float32)
+        elif rb_mode == "vlist":
+            # Batched readback over the traversal-recorded VISIT list: each
+            # batch issues ARENA_BATCH chunk DMAs all-in-flight (scalar-only
+            # loops), then a STATIC unrolled resolve selects lanes by chunk-
+            # base equality (an SMEM scalar broadcast — never a vector
+            # extraction). Entries may repeat (revisits) — resolving a
+            # chunk twice is idempotent (puts select on the FINAL winner).
+            kk = rbl_ref[0]
+
+            def batch_body(b0):
+                b1 = jnp.minimum(kk, b0 + ARENA_BATCH)
+
+                def cp(i):
+                    base = pl.multiple_of(rbl_ref[i + 2], LEAF)
+                    return pltpu.make_async_copy(
+                        tab_ref.at[pl.ds(WOOP_ROWS, a_s.shape[0]),
+                                   pl.ds(base, LEAF)],
+                        a_s.at[:, pl.ds((i - b0) * LEAF, LEAF)],
+                        dma_sems.at[1])
+
+                if "nodma2" not in _ABLATE:
+                    def start_body(i, c):
+                        cp(i).start()
+                        return c
+
+                    jax.lax.fori_loop(b0, b1, start_body, 0)
+
+                    def wait_body(i, c):
+                        cp(i).wait()
+                        return c
+
+                    jax.lax.fori_loop(b0, b1, wait_body, 0)
+
+                if "noresolve2" not in _ABLATE:
+                    gidx = jnp.clip(acc_ref[1].astype(jnp.int32), 0, LEAF - 1)
+                    for j in range(ARENA_BATCH):
+                        base_j = rbl_ref[b0 + j + 2]
+                        # Unrolled slots past the batch end hold stale arena
+                        # data AND a stale base — mask them out entirely.
+                        sel = (acc_ref[0] == base_j.astype(jnp.float32)) & (
+                            b0 + j < b1
+                        )
+                        resolve(a_s[:, j * LEAF:(j + 1) * LEAF], sel, gidx,
+                                acc_ref[2], acc_ref[3])
+                return b0 + ARENA_BATCH
+
+            if "nobody2" not in _ABLATE:
+                @pl.when(rbl_ref[1] == 0)
+                def _():
+                    jax.lax.while_loop(lambda b0: b0 < kk, batch_body,
+                                       jnp.int32(0))
+
+                # List overflow: entries are incomplete — resolve every
+                # winner with the min-extract loop (acc[0] is complete).
+                @pl.when(rbl_ref[1] > 0)
+                def _():
+                    minloop()
+
+            if "countrb" in _ABLATE:
+                out_ref[pkt, 0] = jnp.full((8, 128), 1.0) * (
+                    kk + 1000 * rbl_ref[1]
+                ).astype(jnp.float32)
         elif not rb_prefetch:
             rb_n = minloop()
             if "countrb" in _ABLATE:
@@ -1070,13 +1147,13 @@ def pallas_intersect(
             "(build_tables(pack_pairs=False)): packed bf16-pair bit "
             "patterns can be denormal f32s, which the MXU flushes"
         )
-    if rb_mode not in ("minloop", "list", "arena", "fused", "mt"):
+    if rb_mode not in ("minloop", "list", "arena", "vlist", "fused", "mt"):
         raise ValueError(
-            "rb_mode must be 'minloop', 'list', 'arena', 'fused' or 'mt', "
-            f"got {rb_mode!r}"
+            "rb_mode must be 'minloop', 'list', 'arena', 'vlist', 'fused' "
+            f"or 'mt', got {rb_mode!r}"
         )
-    if rb_mode in ("list", "arena", "fused", "mt") and (rb_window != 1
-                                                        or rb_prefetch):
+    if rb_mode in ("list", "arena", "vlist", "fused", "mt") and (
+            rb_window != 1 or rb_prefetch):
         raise ValueError(
             f"rb_mode={rb_mode!r} resolves one 128-slot chunk at a time: "
             "requires rb_window=1 and rb_prefetch=False"
@@ -1129,7 +1206,8 @@ def pallas_intersect(
             pltpu.SMEM((stack_depth,), jnp.int32),
             pltpu.VMEM((w_rows, LEAF), jnp.float32),
             pltpu.VMEM((attr_rows,
-                        (ARENA_BATCH if rb_mode == "arena" else rb_window)
+                        (ARENA_BATCH if rb_mode in ("arena", "vlist")
+                         else rb_window)
                         * LEAF), jnp.float32),
             pltpu.VMEM((attr_rows, rb_window * LEAF), jnp.float32),
             pltpu.VMEM((4 + na + (1 if rb_mode == "arena" else 0), 8, 128),
