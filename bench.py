@@ -119,8 +119,8 @@ def main():
         pallas_rb_prefetch=os.environ.get("TRACY_BENCH_RBP", "0") == "1",
         pallas_rb_gather=os.environ.get("TRACY_BENCH_RBG", "take"),
         # 'fused' resolves winner attributes at every leaf visit with pure
-        # vector ops — no phase 2, no scalar reads of vector state (the
-        # ~170us/packet drain law, NOTES.md session K).
+        # vector ops — no phase 2. Measured best (session Q: 3.97 MRays/s
+        # at compact=262144 with tile-padded rows).
         pallas_rb_mode=os.environ.get("TRACY_BENCH_RBM", "fused"),
     )
     r = Renderer(cfg)
