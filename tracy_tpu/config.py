@@ -111,7 +111,9 @@ class RenderConfig:
     # zero dynamic gathers ('fused''s per-visit take_along_axis resolve
     # measured ~2.6us/leaf visit, 72% of incoherent live-packet cost).
     # 'list'/'arena'/'fused'/'mt' require rb_window=1, no prefetch.
-    pallas_rb_mode: str = "minloop"
+    # Default 'fused': the fastest measured mode on the dragon headline
+    # (sessions P-R); only the TPU Pallas path consumes this knob.
+    pallas_rb_mode: str = "fused"
 
     # RNG algorithm (reference CPU_RAND_ALGORITHM).
     rng: str = RNG_FAST

@@ -321,6 +321,17 @@ def _kernel(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
     rays_ref [PPS, 7, 8, 128]; out_ref [PPS, 3 + num_out, 8, 128]."""
 
     for pkt in range(packets_per_step):
+        if "nofastpath" in _ABLATE:
+            # Timing bisection: run every packet body unconditionally (the
+            # pre-892d708 structure; dead packets pay the ~13.7us floor).
+            _packet_body(nb_ref, nm_ref, tab_ref,
+                         rays_ref, out_ref, pkt, stack_ref, w_s, a_s, a_s2,
+                         acc_ref, rbl_ref, dma_sems, stack_depth=stack_depth,
+                         has_uv=has_uv, with_tangent=with_tangent,
+                         num_out=num_out, rb_window=rb_window,
+                         rb_prefetch=rb_prefetch, rb_gather=rb_gather,
+                         rb_packed=rb_packed, rb_mode=rb_mode)
+            continue
         # Dead-packet fast path: per-wave compaction leaves late waves
         # mostly dead packets, and the full body's plumbing floor (ray
         # loads + acc init + out writes) measured ~13.7us even with zero
