@@ -60,7 +60,10 @@ from tracy_tpu.accel.packet import PackedBVH, PacketAttrs
 # 'noput2' skips interpolation + output-plane selects (the loop still
 # walks every distinct chunk), 'nobody2' empties the list/arena loop body
 # entirely (skeleton cost only), 'dmaonly2' keeps only the DMA in the
-# list body, 'noresolve2' skips the arena's static resolve, 'countvisits'
+# list body, 'noresolve2' skips the arena's static resolve, 'noappend'
+# skips the traversal-side chunk-list append (list/arena/vlist),
+# 'nofastpath' disables the dead-packet fast path, 'dma16' copies only
+# the woop rows of the fused table, 'countvisits'
 # overwrites the t plane with the packet's LEAF visit count and the u
 # plane with its INNER visit count (borrows rbl SMEM slots — minloop
 # rb_mode only). Results are WRONG under ablation — perf bisection only
@@ -771,7 +774,8 @@ def _packet_body(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
                 # interpolated attributes — commit the improving lanes.
                 for k, plane in enumerate(cand_att):
                     acc_ref[4 + k] = jnp.where(imp, plane, acc_ref[4 + k])
-            if rb_mode in ("list", "arena", "vlist"):
+            if rb_mode in ("list", "arena", "vlist") and (
+                    "noappend" not in _ABLATE):
                 # Append this chunk to the phase-2 candidate list (scalar
                 # SMEM ops, consecutive-dup suppressed). The final winner
                 # chunk of every lane is the chunk of its LAST improving
