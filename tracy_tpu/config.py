@@ -138,6 +138,14 @@ class RenderConfig:
     # big values inflate compile time linearly.
     pallas_packets_per_step: int = 2
 
+    # On-core shading stage (ops/pallas_shade.py): run the whole bounce's
+    # material lookup + scatter + sky + RR + RNG as a Pallas kernel on the
+    # wavefront planes. Engages only when ALL of: TPU backend, use_pallas,
+    # accel packet/tlas, beauty AOV, untextured scene, <=128 materials —
+    # otherwise the bit-identical XLA shading math runs. Not differentiable
+    # (training paths construct their own intersectors and never see it).
+    use_pallas_shade: bool = True
+
     # Compute dtype for shading math.
     dtype: str = "float32"
 

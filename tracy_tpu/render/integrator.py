@@ -121,6 +121,11 @@ def trace_paths(
     intersect_fn: IntersectFn,
     active0: jnp.ndarray = None,  # [N] bool; None = all live. Dead lanes
     # (tile-padding rows) are never counted and contribute no radiance.
+    shade_fn=None,  # optional on-core shading stage (ops/pallas_shade.py):
+    # (o, d, thr, rad, alive, pix, hit_mask, t, normal, mat, skey, bounce)
+    # -> next (o, d, thr, rad, alive); bit-identical to the jnp math below.
+    # Requires a RICH intersector. Installed by the Renderer on TPU for
+    # untextured beauty renders.
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Trace N paths; returns (radiance [N, 3], ray_count scalar)."""
     n = origin.shape[0]
@@ -142,6 +147,15 @@ def trace_paths(
         ray_count = state.ray_count + jnp.sum(state.alive, dtype=jnp.int32)
 
         res = intersect_fn(state.origin, state.direction, state.alive)
+        if shade_fn is not None:
+            hit, pa = res  # rich intersector required
+            o2, d2, thr2, rad2, alive2 = shade_fn(
+                state.origin, state.direction, state.throughput,
+                state.radiance, state.alive, pixel_idx,
+                hit.mask, hit.t, pa.normal, pa.material,
+                sample_key, bounce,
+            )
+            return PathState(o2, d2, thr2, rad2, alive2, ray_count), None
         if not isinstance(res, Hit):
             # Rich intersector (packet): attributes already interpolated
             # gather-free inside the traversal.

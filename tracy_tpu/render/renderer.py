@@ -51,6 +51,7 @@ def sample_radiance_rows(
     cfg: RenderConfig,
     frame: jnp.ndarray,
     intersect_fn=None,
+    shade_fn=None,  # optional on-core shading stage (see trace_paths)
     row_offset=0,  # traced or static: first image row this shard renders
     num_rows: Optional[int] = None,  # static: rows rendered here
     spp_offset=0,  # traced or static: first sample id this shard renders
@@ -137,7 +138,8 @@ def sample_radiance_rows(
         else:
             def run(o, d, pix, act):
                 return trace_paths(scene, o, d, pix, sample_key, cfg,
-                                   intersect_fn, active0=act)
+                                   intersect_fn, active0=act,
+                                   shade_fn=shade_fn)
 
             n = origin.shape[0]
             chunk = cfg.ray_chunk
@@ -184,16 +186,20 @@ def sample_radiance(
     cfg: RenderConfig,
     frame: jnp.ndarray,
     intersect_fn=None,
+    shade_fn=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One frame of spp jittered samples -> (mean radiance [H,W,3], rays [])."""
-    return sample_radiance_rows(scene, cfg, frame, intersect_fn)
+    return sample_radiance_rows(scene, cfg, frame, intersect_fn,
+                                shade_fn=shade_fn)
 
 
 def render_step(
-    scene: SceneArrays, state: RenderState, cfg: RenderConfig, intersect_fn=None
+    scene: SceneArrays, state: RenderState, cfg: RenderConfig,
+    intersect_fn=None, shade_fn=None
 ) -> Tuple[RenderState, jnp.ndarray]:
     """One progressive frame: sample, accumulate, bump the frame counter."""
-    radiance, rays = sample_radiance(scene, cfg, state.frame, intersect_fn)
+    radiance, rays = sample_radiance(scene, cfg, state.frame, intersect_fn,
+                                     shade_fn=shade_fn)
     if cfg.accumulate:
         accum = film.accumulate(state.accum, radiance, state.frame.astype(radiance.dtype))
     else:
@@ -215,6 +221,7 @@ class Renderer:
         self.cfg = cfg
         self._bind = None
         self._accel_data = ()
+        self._shade_fn = None
         if intersector_factory is not None:
             # Back-compat: factory(scene) -> IntersectFn (closure-based).
             self._bind = lambda sc, acc: intersector_factory(sc)
@@ -393,8 +400,46 @@ class Renderer:
 
             self._bind = bind_compact
 
+        self._maybe_bind_shade(scene)
+
+    def _maybe_bind_shade(self, scene: SceneArrays):
+        """On-core shading stage (ops/pallas_shade.py) when eligible:
+        TPU backend, Pallas on, rich packet intersector, beauty AOV,
+        untextured scene, <=128 materials. Bit-identical to the XLA
+        shading math, so eligibility only affects speed."""
+        cfg = self.cfg
+        if not (cfg.use_pallas_shade and cfg.use_pallas
+                and cfg.aov == "beauty" and cfg.accel in ("packet", "tlas")
+                and jax.default_backend() not in ("cpu",)):
+            return
+        from tracy_tpu.render.material import scene_has_textures
+
+        if scene_has_textures(scene):
+            return
+        from tracy_tpu.ops.pallas_shade import (
+            build_material_table, shade_packets,
+        )
+
+        mtab = build_material_table(scene.materials)
+        if mtab is None:
+            return
+        num_m = int(np.asarray(scene.materials.albedo).shape[0])
+        seed = cfg.seed
+        rr = cfg.russian_roulette
+
+        def shade_fn(o, d, thr, rad, alive, pix, hmask, t, normal, mat,
+                     skey, bounce):
+            return shade_packets(
+                o, d, thr, rad, alive, pix, hmask, t, normal, mat, mtab,
+                skey, bounce, num_materials=num_m, seed=seed,
+                russian_roulette=rr,
+            )
+
+        self._shade_fn = shade_fn
+
     def _step_impl(self, scene: SceneArrays, state: RenderState, accel):
-        return render_step(scene, state, self.cfg, self._bind(scene, accel))
+        return render_step(scene, state, self.cfg, self._bind(scene, accel),
+                           shade_fn=self._shade_fn)
 
     def _steps_impl(self, scene: SceneArrays, state: RenderState, accel,
                     num_steps: int):
@@ -405,7 +450,8 @@ class Renderer:
 
         def body(_, carry):
             st, rays = carry
-            st2, r = render_step(scene, st, self.cfg, isect)
+            st2, r = render_step(scene, st, self.cfg, isect,
+                                 shade_fn=self._shade_fn)
             return st2, rays + r
 
         return jax.lax.fori_loop(
