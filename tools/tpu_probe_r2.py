@@ -29,6 +29,7 @@ LEAF = int(os.environ.get("PROBE_LEAF", 64))
 PPS_LIST = tuple(int(x) for x in os.environ.get("PROBE_PPS", "4,8,16,32").split(","))
 SKIP_C = os.environ.get("PROBE_SKIP_C", "0") == "1"
 SKIP_D = os.environ.get("PROBE_SKIP_D", "0") == "1"
+SKIP_AB = os.environ.get("PROBE_SKIP_AB", "0") == "1"
 
 
 def main() -> int:
@@ -116,8 +117,14 @@ def main() -> int:
         return el
 
     print("[probe] === A: coherent primary wave, pps sweep ===", flush=True)
-    for pps in PPS_LIST:
+    for pps in () if SKIP_AB else PPS_LIST:
         timed_intersect(o1, d1, act1, pps, "primary")
+
+    if SKIP_AB:
+        # D-only run (frame timings): skip wave-2 build + sections B/C.
+        run_frames(scene, cfg, Renderer, init_state)
+        print("[probe] DONE", flush=True)
+        return 0
 
     # ---- build wave-2 rays on-device (one shot) --------------------------
     print("[probe] building wave-2 rays...", flush=True)
@@ -202,9 +209,25 @@ def main() -> int:
     print(f"[probe] frame-minus-intersect: {(time.perf_counter()-t0)/4*1e3:.1f} ms/frame",
           flush=True)
 
-    print("[probe] === D: full-frame step_many (pps=8 vs best) ===", flush=True)
-    for pps in (8, 32):
-        cfg2 = cfg.replace(pallas_packets_per_step=pps)
+    run_frames(scene, cfg, Renderer, init_state)
+    print("[probe] DONE", flush=True)
+    return 0
+
+
+def run_frames(scene, cfg, Renderer, init_state):
+    """Section D: full-frame step_many timings (bench-like config knobs:
+    PROBE_FRAME_RBM/COMPACT/SHADE override the cfg defaults)."""
+    import time
+
+    rbm = os.environ.get("PROBE_FRAME_RBM", cfg.pallas_rb_mode)
+    compact = int(os.environ.get("PROBE_FRAME_COMPACT",
+                                 cfg.wave_compact_group))
+    shade = os.environ.get("PROBE_FRAME_SHADE", "1") == "1"
+    print("[probe] === D: full-frame step_many ===", flush=True)
+    for pps in (2, 8):
+        cfg2 = cfg.replace(pallas_packets_per_step=pps,
+                           pallas_rb_mode=rbm, wave_compact_group=compact,
+                           use_pallas_shade=shade)
         r = Renderer(cfg2)
         st = init_state(cfg2)
         t0 = time.perf_counter()
@@ -212,11 +235,9 @@ def main() -> int:
         warm = time.perf_counter() - t0
         r.timer.reset(); r.total_rays = 0.0
         st, rays = r.step_many(scene, st, 4)
-        print(f"[probe] frame pps={pps}: {r.timer.total/4*1e3:.0f} ms/frame "
+        print(f"[probe] frame pps={pps} rbm={rbm} compact={compact} "
+              f"shade={int(shade)}: {r.timer.total/4*1e3:.0f} ms/frame "
               f"{r.mrays_per_sec:.2f} MRays/s (warm {warm:.0f}s)", flush=True)
-
-    print("[probe] DONE", flush=True)
-    return 0
 
 
 if __name__ == "__main__":
