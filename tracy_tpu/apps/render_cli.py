@@ -51,6 +51,17 @@ def main(argv=None):
     p.add_argument("-data-root", default=None)
     p.add_argument("-no-rr", action="store_true", help="disable russian roulette")
     p.add_argument("-ray-chunk", type=int, default=0)
+    p.add_argument("-accel", default=None,
+                   choices=["packet", "tlas", "bvh", "none"],
+                   help="acceleration tier (default: packet for -kernel pt"
+                        " on TPU, bvh on CPU; none for pt-bf)")
+    p.add_argument("-compact", type=int, default=None,
+                   help="per-wave live-ray compaction group (rays; default"
+                        " 262144 on the TPU packet path, 0 otherwise)")
+    p.add_argument("-rb-mode", default=None,
+                   choices=["minloop", "list", "arena", "vlist", "fused",
+                            "mt"],
+                   help="Pallas winner-readback mode (default: fused)")
     p.add_argument("-cpu", action="store_true", help="force the CPU backend")
     p.add_argument("-mesh", default=None,
                    help="multi-chip mesh as DATAxSAMPLE, e.g. 4x2")
@@ -75,6 +86,29 @@ def main(argv=None):
     log("objects: %s, triangles: %s" % (
         human_count(builder.num_objects), human_count(builder.num_triangles)))
 
+    # Acceleration tier: the packet path (Pallas kernel on TPU, XLA packet
+    # otherwise) is the production tracer; the per-ray-stack 'bvh' tier is
+    # faster to COMPILE on CPU, so it stays the CPU default. pt-bf is the
+    # brute-force oracle.
+    if args.cpu:
+        on_tpu = False
+    else:
+        try:
+            import jax as _jax
+
+            on_tpu = _jax.default_backend() not in ("cpu",)
+        except Exception:
+            on_tpu = False
+    if args.accel is not None:
+        accel = args.accel
+    elif args.kernel == "pt-bf":
+        accel = "none"
+    else:
+        accel = "packet" if on_tpu else "bvh"
+    compact = args.compact
+    if compact is None:
+        compact = 262144 if (on_tpu and accel in ("packet", "tlas")) else 0
+
     cfg = RenderConfig(
         width=builder.width,
         height=builder.height,
@@ -83,9 +117,11 @@ def main(argv=None):
         tonemap=args.tonemap,
         exposure=args.exposure,
         aov=args.aov,
-        accel="none" if args.kernel == "pt-bf" else "bvh",
+        accel=accel,
         russian_roulette=not args.no_rr,
         ray_chunk=args.ray_chunk,
+        wave_compact_group=compact,
+        pallas_rb_mode=args.rb_mode or "fused",
     )
 
     if args.kernel in ("raster", "raster-gl"):
