@@ -122,6 +122,8 @@ def main():
         # vector ops — no phase 2. Measured best (session Q: 3.97 MRays/s
         # at compact=262144 with tile-padded rows).
         pallas_rb_mode=os.environ.get("TRACY_BENCH_RBM", "fused"),
+        pallas_leaf_pipeline=os.environ.get("TRACY_BENCH_PIPE", "0") == "1",
+        use_pallas_shade=os.environ.get("TRACY_BENCH_SHADE", "1") == "1",
     )
     r = Renderer(cfg)
     state = init_state(cfg)

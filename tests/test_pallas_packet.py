@@ -394,3 +394,32 @@ def test_pallas_rb_list_overflow(monkeypatch, mode):
     np.testing.assert_array_equal(np.asarray(a1.normal), np.asarray(al.normal))
     np.testing.assert_array_equal(np.asarray(a1.material),
                                   np.asarray(al.material))
+
+
+def test_pallas_leaf_pipeline():
+    """The software-pipelined leaf path (pending-leaf MT overlapped with
+    the next chunk's DMA, double-buffered scratch) must be bit-identical
+    to the single-buffered fused mode: leaves are MT'd in the same order
+    with the same best-t (tightening lags one leaf, a pruning hint only)."""
+    b = default_scene(32, 24)
+    tex = b.add_texture(np.full((4, 4, 4), 0.5, np.float32))
+    b.set_material_texture(1, 0, tex)
+    scene = b.build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    i0 = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_mode="fused")
+    ip = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_mode="fused",
+                                 leaf_pipeline=True)
+    o, d = _rays_for(scene, 3072, seed=17)
+    act = jnp.ones(3072, bool).at[1024:2048].set(False)  # dead mid packet
+    h0, a0 = i0(o, d, act)
+    hp, ap = ip(o, d, act)
+    np.testing.assert_array_equal(np.asarray(h0.mask), np.asarray(hp.mask))
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(hp.t))
+    np.testing.assert_array_equal(np.asarray(h0.uv), np.asarray(hp.uv))
+    np.testing.assert_array_equal(np.asarray(a0.normal),
+                                  np.asarray(ap.normal))
+    np.testing.assert_array_equal(np.asarray(a0.uv), np.asarray(ap.uv))
+    np.testing.assert_array_equal(np.asarray(a0.material),
+                                  np.asarray(ap.material))

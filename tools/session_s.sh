@@ -16,4 +16,6 @@ exec bash tools/tpu_session.sh logs/r2_session_s.log \
  "PROBE_SKIP_AB=1 PROBE_W=1920 PROBE_H=1088 PROBE_LEAF=128 PROBE_FRAME_RBM=fused PROBE_FRAME_COMPACT=262144 PROBE_FRAME_SHADE=0 python -u tools/tpu_probe_r2.py" \
  "TRACY_BENCH_RBM=fused TRACY_BENCH_COMPACT=262144 python bench.py" \
  "TRACY_BENCH_RBM=fused TRACY_BENCH_COMPACT=0 python bench.py" \
- "TRACY_BENCH_RBM=vlist TRACY_BENCH_COMPACT=262144 python bench.py"
+ "TRACY_BENCH_RBM=vlist TRACY_BENCH_COMPACT=262144 python bench.py" \
+ "TRACY_BENCH_RBM=fused TRACY_BENCH_COMPACT=262144 TRACY_BENCH_PIPE=1 python bench.py" \
+ "TRACY_BENCH_RBM=fused TRACY_BENCH_COMPACT=262144 TRACY_BENCH_SHADE=0 python bench.py"

@@ -138,6 +138,13 @@ class RenderConfig:
     # big values inflate compile time linearly.
     pallas_packets_per_step: int = 2
 
+    # Software-pipelined leaf processing in the Pallas packet kernel:
+    # a leaf's chunk DMA is started at DISCOVERY and its MT test runs when
+    # the NEXT leaf is found (or at traversal end), overlapping the DMA
+    # with inner-node work. Bit-identical results (best-t tightening lags
+    # one leaf — pruning hint only). Requires pallas_rb_mode='fused'.
+    pallas_leaf_pipeline: bool = False
+
     # On-core shading stage (ops/pallas_shade.py): run the whole bounce's
     # material lookup + scatter + sky + RR + RNG as a Pallas kernel on the
     # wavefront planes. Engages only when ALL of: TPU backend, use_pallas,
@@ -185,6 +192,10 @@ class RenderConfig:
             raise ValueError(
                 "pallas_rb_mode must be 'minloop', 'list', 'arena', "
                 f"'vlist', 'fused' or 'mt', got {self.pallas_rb_mode!r}"
+            )
+        if self.pallas_leaf_pipeline and self.pallas_rb_mode != "fused":
+            raise ValueError(
+                "pallas_leaf_pipeline requires pallas_rb_mode='fused'"
             )
         if self.pallas_rb_mode in ("list", "arena", "vlist", "fused",
                                    "mt") and (

@@ -314,7 +314,7 @@ def _kernel(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
             *, stack_depth: int, has_uv: bool, with_tangent: bool,
             num_out: int, packets_per_step: int, rb_window: int,
             rb_prefetch: bool, rb_gather: str, rb_packed: bool,
-            rb_mode: str):
+            rb_mode: str, leaf_pipeline: bool = False):
     """One grid step = `packets_per_step` packets, unrolled with STATIC
     packet indices. Round 1 looped packets with fori and indexed
     rays_ref/out_ref by the traced loop index — a value-level dynamic
@@ -333,7 +333,8 @@ def _kernel(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
                          has_uv=has_uv, with_tangent=with_tangent,
                          num_out=num_out, rb_window=rb_window,
                          rb_prefetch=rb_prefetch, rb_gather=rb_gather,
-                         rb_packed=rb_packed, rb_mode=rb_mode)
+                         rb_packed=rb_packed, rb_mode=rb_mode,
+                         leaf_pipeline=leaf_pipeline)
             continue
         # Dead-packet fast path: per-wave compaction leaves late waves
         # mostly dead packets, and the full body's plumbing floor (ray
@@ -349,7 +350,8 @@ def _kernel(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
                          has_uv=has_uv, with_tangent=with_tangent,
                          num_out=num_out, rb_window=rb_window,
                          rb_prefetch=rb_prefetch, rb_gather=rb_gather,
-                         rb_packed=rb_packed, rb_mode=rb_mode)
+                         rb_packed=rb_packed, rb_mode=rb_mode,
+                         leaf_pipeline=leaf_pipeline)
 
         @pl.when(jnp.logical_not(any_live))
         def _(pkt=pkt):
@@ -364,7 +366,8 @@ def _packet_body(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
                  pkt, stack_ref, w_s, a_s, a_s2, acc_ref, rbl_ref, dma_sems,
                  *, stack_depth: int, has_uv: bool, with_tangent: bool,
                  num_out: int, rb_window: int, rb_prefetch: bool,
-                 rb_gather: str, rb_packed: bool, rb_mode: str):
+                 rb_gather: str, rb_packed: bool, rb_mode: str,
+                 leaf_pipeline: bool = False):
     # Per-plane reads (a whole-block read would materialize all 7 planes
     # into vregs before the dead-packet branch could skip them).
     ox = rays_ref[pkt, 0]
@@ -387,6 +390,9 @@ def _packet_body(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
     if rb_mode in ("list", "arena", "vlist"):
         rbl_ref[0] = 0  # chunk-list count
         rbl_ref[1] = 0  # overflow flag
+    if leaf_pipeline:
+        rbl_ref[0] = 0  # buffer parity for the next leaf DMA
+        rbl_ref[1] = -1  # pending chunk base (-1 = none)
     if "countvisits" in _ABLATE:
         rbl_ref[2] = 0  # leaf visits (probe; minloop only — list/arena
         rbl_ref[3] = 0  # inner visits  use these slots as entries)
@@ -520,6 +526,244 @@ def _packet_body(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
                         + v_sel * corner_val(t_base, 6 + comp))
                     k_out += 1
 
+    # ---- leaf MT test: one 128-slot chunk against the packet -------------
+    # Factored out of leaf_case so the leaf-pipeline mode can run it on the
+    # PREVIOUS leaf (whose chunk DMA overlapped the traversal since its
+    # discovery) while the current leaf's DMA flies. wrow = the chunk's row
+    # base inside w_s (0 when single-buffered; par * ROWS_W when
+    # double-buffered — a traced scalar), chunk_i = the chunk base (for
+    # winner recording + list appends), sub_off/m_count = the leaf's window
+    # inside the chunk, bt = best-t plane BEFORE this leaf. Returns the
+    # tightened best-t plane; updates acc planes (+ fused resolve).
+    ROWS_W = w_s.shape[0] // 2 if leaf_pipeline else w_s.shape[0]
+
+    def leaf_mt(wrow, chunk_i, sub_off, m_count, bt):
+        if leaf_pipeline:
+            def wr(k):
+                return w_s[pl.ds(wrow + k, 1), :].reshape(LEAF, 1)
+
+            def attr_buf():
+                return w_s[pl.ds(wrow + WOOP_ROWS, ROWS_W - WOOP_ROWS), :]
+        else:
+            def wr(k):
+                return w_s[k, :].reshape(LEAF, 1)
+
+            def attr_buf():
+                return w_s[WOOP_ROWS:, :]
+
+        # Woop coefficient windows as [LEAF, 1] for the pair grid.
+        W = [wr(k) for k in range(12)]
+
+        mt_comps = ()
+        if rb_mode == "mt" and "noreadback" not in _ABLATE:
+            # rb_mode='mt': winner attributes are extracted INSIDE the
+            # MT row loop by the same masked-min trick as u/v, from
+            # per-triangle corner COLUMNS — zero dynamic gathers. The
+            # 'fused' mode's per-visit resolve is pure vector ops too,
+            # but its 6-17 take_along_axis gathers measured ~2.6us per
+            # leaf visit (the incoherent-wave dominator, 72% of live
+            # packet cost); interpolate-then-min-extract rides the
+            # one-hot masks the loop already builds for a few FMAs and
+            # one extra sublane reduction per attribute component.
+            def acol(k):  # attr row k as a [LEAF, 1] column
+                return wr(WOOP_ROWS + k)
+
+            mat_row = 6 if has_uv else 0
+            n_base = mat_row + 1
+            t_base = n_base + (5 if rb_packed else 9)
+
+            def corner_col(base, j):
+                # component j of a 9-value corner list (see resolve()).
+                if not rb_packed:
+                    return acol(base + j)
+                bits = jax.lax.bitcast_convert_type(
+                    acol(base + j // 2), jnp.uint32
+                )
+                if j % 2 == 0:
+                    bits = bits & jnp.uint32(0xFFFF0000)
+                else:
+                    bits = bits << 16
+                return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+            # (c0, c1, c2) corner-column triples in OUTPUT-PLANE order
+            # (the resolve()'s put sequence): normal3 [, uv2], mat
+            # [, tangent3]. mat is per-triangle (no interpolation).
+            comps = []
+            for c in range(3):
+                comps.append((corner_col(n_base, c),
+                              corner_col(n_base, 3 + c),
+                              corner_col(n_base, 6 + c)))
+            if has_uv:
+                for c in range(2):
+                    comps.append((acol(c), acol(2 + c), acol(4 + c)))
+            comps.append((acol(mat_row), None, None))
+            if with_tangent:
+                for c in range(3):
+                    comps.append((corner_col(t_base, c),
+                                  corner_col(t_base, 3 + c),
+                                  corner_col(t_base, 6 + c)))
+            mt_comps = tuple(comps)
+
+        lane_ok = (sub_iota >= sub_off) & (sub_iota < sub_off + m_count)
+
+        # One ray row (8 sublanes of the packet) per fori iteration:
+        # [LEAF, 128] vreg tiles (128 tris x 128 rays). The loop only
+        # finds each ray's candidate (t, tri index); the winner readback
+        # (gathers + attribute interpolation) happens ONCE per leaf on
+        # [8, 128] planes afterwards.
+        best_t_plane = bt
+
+        def row_body(r, carry):
+            cand_t, cand_idx, cand_u, cand_v, cand_att = carry
+            r_mask = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == r
+
+            def row(plane):  # row r of [8,128] without dynamic_slice
+                return jnp.sum(jnp.where(r_mask, plane, 0.0), axis=0)
+
+            orx, ory, orz = row(ox), row(oy), row(oz)  # [128]
+            drx, dry, drz = row(dx), row(dy), row(dz)
+
+            # o'_k = R_k . o + b_k ; d'_k = R_k . d   -> [LEAF, 128]
+            opz = W[8] * orx + W[9] * ory + W[10] * orz + W[11]
+            dpz = W[8] * drx + W[9] * dry + W[10] * drz
+            # Front-facing iff d'z < 0 (MT det = -d.n); guard the rcp.
+            dz_ok = dpz < 0.0
+            inv_dz = jnp.where(dz_ok, 1.0 / jnp.where(dz_ok, dpz, -1.0), 0.0)
+            tt = -opz * inv_dz
+            opx = W[0] * orx + W[1] * ory + W[2] * orz + W[3]
+            dpx = W[0] * drx + W[1] * dry + W[2] * drz
+            opy = W[4] * orx + W[5] * ory + W[6] * orz + W[7]
+            dpy = W[4] * drx + W[5] * dry + W[6] * drz
+            uu = opx + tt * dpx
+            vv = opy + tt * dpy
+            bt_r = row(best_t_plane)  # [128] best before this leaf
+            ok = (
+                dz_ok & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                & (tt > EPS) & (tt < bt_r) & lane_ok
+            )
+            tt = jnp.where(ok, tt, jnp.float32(BIG))
+            row_best = jnp.min(tt, axis=0)  # [128]
+            oh_raw = (tt == row_best) & ok  # [LEAF, 128]
+            # First-match tie-break: smallest sublane index among ties.
+            win_idx = jnp.min(
+                jnp.where(oh_raw, sub_iota, jnp.int32(LEAF)), axis=0
+            )  # [128]
+            # Winner u/v by min-trick over the ONE-hot (u,v >= 0, so a
+            # masked min extracts the winning slot's value): this keeps
+            # the woop table out of the phase-2 readback entirely.
+            oh1 = oh_raw & (sub_iota == win_idx[None, :])
+            u_row = jnp.min(jnp.where(oh1, uu, jnp.float32(BIG)), axis=0)
+            v_row = jnp.min(jnp.where(oh1, vv, jnp.float32(BIG)), axis=0)
+            upd = r_mask  # write this row's results
+            cand_t = jnp.where(upd, row_best[None, :], cand_t)
+            cand_idx = jnp.where(upd, win_idx[None, :], cand_idx)
+            cand_u = jnp.where(upd, u_row[None, :], cand_u)
+            cand_v = jnp.where(upd, v_row[None, :], cand_v)
+            if mt_comps:
+                # Interpolate on the [LEAF, 128] grid, then min-extract
+                # the single winning slot per lane (oh1 is one-hot per
+                # column; any value < BIG extracts exactly). Numerics
+                # match resolve(): same w*c0 + u*c1 + v*c2 FMA order on
+                # the same (bf16-unpacked) corner values.
+                wbar = 1.0 - uu - vv
+                new_att = []
+                for (c0, c1, c2), plane in zip(mt_comps, cand_att):
+                    val = c0 if c1 is None else (
+                        wbar * c0 + uu * c1 + vv * c2
+                    )
+                    a_row = jnp.min(
+                        jnp.where(oh1, val, jnp.float32(BIG)), axis=0
+                    )
+                    new_att.append(
+                        jnp.where(upd, a_row[None, :], plane)
+                    )
+                cand_att = tuple(new_att)
+            return (cand_t, cand_idx, cand_u, cand_v, cand_att)
+
+        att0 = tuple(
+            jnp.zeros((8, 128), jnp.float32) for _ in mt_comps
+        )
+        if "nomt" in _ABLATE:
+            cand_t = jnp.full((8, 128), jnp.float32(BIG)) - ox
+            cand_idx = jnp.zeros((8, 128), jnp.int32)
+            cand_u = cand_v = jnp.zeros((8, 128), jnp.float32)
+            cand_att = att0
+        else:
+            cand_t, cand_idx, cand_u, cand_v, cand_att = jax.lax.fori_loop(
+                0, 8, row_body,
+                (jnp.full((8, 128), jnp.float32(BIG)),
+                 jnp.full((8, 128), jnp.int32(LEAF)),
+                 jnp.zeros((8, 128), jnp.float32),
+                 jnp.zeros((8, 128), jnp.float32),
+                 att0),
+            )
+
+        imp = cand_t < best_t_plane  # [8, 128]
+        # record the winner identity + its barycentrics; the attribute
+        # fetch resolves in phase 2, once per distinct winning chunk.
+        acc_ref[0] = jnp.where(imp, jnp.float32(1.0) * chunk_i, acc_ref[0])
+        acc_ref[1] = jnp.where(imp, cand_idx.astype(jnp.float32), acc_ref[1])
+        acc_ref[2] = jnp.where(imp, cand_u, acc_ref[2])
+        acc_ref[3] = jnp.where(imp, cand_v, acc_ref[3])
+        if mt_comps:
+            # 'mt' readback: the loop already extracted the winner's
+            # interpolated attributes — commit the improving lanes.
+            for k, plane in enumerate(cand_att):
+                acc_ref[4 + k] = jnp.where(imp, plane, acc_ref[4 + k])
+        if rb_mode in ("list", "arena", "vlist") and (
+                "noappend" not in _ABLATE):
+            # Append this chunk to the phase-2 candidate list (scalar
+            # SMEM ops, consecutive-dup suppressed). The final winner
+            # chunk of every lane is the chunk of its LAST improving
+            # visit, so (absent overflow) the list is a superset of the
+            # distinct winner chunks — phase 2 then runs as a counter-
+            # bounded loop with NO vector->scalar extraction in its
+            # control path. 'list'/'arena' gate the append on "did this
+            # visit improve any lane" — but that imp_any read IS a
+            # vector->scalar sync (~0.85us/visit, session K). 'vlist'
+            # appends EVERY leaf visit unconditionally: chunk_base and
+            # the counter are pure scalars, so traversal never touches
+            # vector state; the longer list is cheap because its phase
+            # 2 batches DMAs and resolves statically (arena-style).
+            kk = rbl_ref[0]
+            prev = rbl_ref[kk + 1]  # entry kk-1 (rbl_ref[1]=ovf if kk==0)
+            dup = jnp.logical_and(kk > 0, prev == chunk_i)
+            if rb_mode == "vlist":
+                want = jnp.logical_not(dup)
+            else:
+                imp_any = jnp.max(imp.astype(jnp.int32))
+                want = jnp.logical_and(imp_any > 0, jnp.logical_not(dup))
+
+            @pl.when(jnp.logical_and(want, kk < LIST_CAP))
+            def _():
+                rbl_ref[kk + 2] = chunk_i
+                rbl_ref[0] = kk + 1
+
+            @pl.when(jnp.logical_and(want, kk >= LIST_CAP))
+            def _():
+                rbl_ref[1] = 1
+
+            if rb_mode == "arena":
+                # Stamp improving lanes with this visit's list entry
+                # (the just-appended index, or the previous one on a
+                # consecutive dup). On overflow the stamp is stale —
+                # the ovf flag routes the whole packet to the minloop.
+                ent = jnp.where(dup, kk - 1, kk).astype(jnp.float32)
+                acc_ref[4 + num_out] = jnp.where(
+                    imp, ent, acc_ref[4 + num_out]
+                )
+        if rb_mode == "fused" and "noreadback" not in _ABLATE:
+            # Per-visit winner readback, PURE vector ops: the chunk's
+            # attributes arrived with the woop rows in the single
+            # visit DMA, the winning slot's values come out by in-row
+            # gather under the improved mask, and nothing scalar ever
+            # reads vector state — so the scalar pipe keeps running
+            # ahead.
+            resolve(attr_buf(), imp,
+                    jnp.clip(cand_idx, 0, LEAF - 1), cand_u, cand_v)
+        return jnp.where(imp, cand_t, bt)
+
+
     def cond(c):
         return c[0] > 0
 
@@ -604,228 +848,55 @@ def _packet_body(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
             # 'dma16' ablation: copy only the woop rows even when w_s
             # covers the whole fused table (fused/mt results then read
             # stale attr rows — timing bisection of the DMA row count).
-            rows_dma = (WOOP_ROWS if "dma16" in _ABLATE and
-                        w_s.shape[0] > WOOP_ROWS else w_s.shape[0])
-            dst = (w_s if rows_dma == w_s.shape[0]
-                   else w_s.at[pl.ds(0, rows_dma), :])
-            cp_w = pltpu.make_async_copy(
-                tab_ref.at[pl.ds(0, rows_dma), pl.ds(chunk_base, LEAF)],
-                dst, dma_sems.at[0])
-            if "nodma" not in _ABLATE:
-                cp_w.start()
-                cp_w.wait()
+            if not leaf_pipeline:
+                rows_dma = (WOOP_ROWS if "dma16" in _ABLATE and
+                            w_s.shape[0] > WOOP_ROWS else w_s.shape[0])
+                dst = (w_s if rows_dma == w_s.shape[0]
+                       else w_s.at[pl.ds(0, rows_dma), :])
+                cp_w = pltpu.make_async_copy(
+                    tab_ref.at[pl.ds(0, rows_dma), pl.ds(chunk_base, LEAF)],
+                    dst, dma_sems.at[0])
+                if "nodma" not in _ABLATE:
+                    cp_w.start()
+                    cp_w.wait()
 
-            # Woop coefficient windows as [LEAF, 1] for the pair grid.
-            W = [w_s[k, :].reshape(LEAF, 1) for k in range(12)]
+            if leaf_pipeline:
+                # Software-pipelined leaf processing: start the CURRENT
+                # leaf's chunk DMA, then MT the PENDING leaf (its DMA has
+                # been in flight since its discovery, overlapped with the
+                # inner-node traversal in between). best_t tightening lags
+                # one leaf — a pruning hint only; winners are closest-hit
+                # minima, so results are bit-identical (the lag can only
+                # ADD visits whose candidates lose the strict < test).
+                # SMEM state: rbl[0] = buffer parity for the current leaf,
+                # rbl[1] = pending chunk base (-1 none), rbl[2]/[3] =
+                # pending sub_off / count.
+                par = rbl_ref[0]
+                opp = 1 - par
 
-            mt_comps = ()
-            if rb_mode == "mt" and "noreadback" not in _ABLATE:
-                # rb_mode='mt': winner attributes are extracted INSIDE the
-                # MT row loop by the same masked-min trick as u/v, from
-                # per-triangle corner COLUMNS — zero dynamic gathers. The
-                # 'fused' mode's per-visit resolve is pure vector ops too,
-                # but its 6-17 take_along_axis gathers measured ~2.6us per
-                # leaf visit (the incoherent-wave dominator, 72% of live
-                # packet cost); interpolate-then-min-extract rides the
-                # one-hot masks the loop already builds for a few FMAs and
-                # one extra sublane reduction per attribute component.
-                def acol(k):  # attr row k as a [LEAF, 1] column
-                    return w_s[WOOP_ROWS + k, :].reshape(LEAF, 1)
+                def cpr(par_, chunk_):
+                    return pltpu.make_async_copy(
+                        tab_ref.at[:, pl.ds(chunk_, LEAF)],
+                        w_s.at[pl.ds(par_ * ROWS_W, ROWS_W), :],
+                        dma_sems.at[par_])
 
-                mat_row = 6 if has_uv else 0
-                n_base = mat_row + 1
-                t_base = n_base + (5 if rb_packed else 9)
+                cpr(par, chunk_base).start()
+                pend = rbl_ref[1]
 
-                def corner_col(base, j):
-                    # component j of a 9-value corner list (see resolve()).
-                    if not rb_packed:
-                        return acol(base + j)
-                    bits = jax.lax.bitcast_convert_type(
-                        acol(base + j // 2), jnp.uint32
-                    )
-                    if j % 2 == 0:
-                        bits = bits & jnp.uint32(0xFFFF0000)
-                    else:
-                        bits = bits << 16
-                    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+                def mt_pending(b):
+                    pch = pl.multiple_of(rbl_ref[1], LEAF)
+                    cpr(opp, pch).wait()
+                    return leaf_mt(opp * ROWS_W, pch, rbl_ref[2],
+                                   rbl_ref[3], b)
 
-                # (c0, c1, c2) corner-column triples in OUTPUT-PLANE order
-                # (the resolve()'s put sequence): normal3 [, uv2], mat
-                # [, tangent3]. mat is per-triangle (no interpolation).
-                comps = []
-                for c in range(3):
-                    comps.append((corner_col(n_base, c),
-                                  corner_col(n_base, 3 + c),
-                                  corner_col(n_base, 6 + c)))
-                if has_uv:
-                    for c in range(2):
-                        comps.append((acol(c), acol(2 + c), acol(4 + c)))
-                comps.append((acol(mat_row), None, None))
-                if with_tangent:
-                    for c in range(3):
-                        comps.append((corner_col(t_base, c),
-                                      corner_col(t_base, 3 + c),
-                                      corner_col(t_base, 6 + c)))
-                mt_comps = tuple(comps)
+                bt2 = jax.lax.cond(pend >= 0, mt_pending, lambda b: b, bt)
+                rbl_ref[1] = chunk_base
+                rbl_ref[2] = sub_off
+                rbl_ref[3] = m_count
+                rbl_ref[0] = opp
+                return (sp_in, bt2)
 
-            lane_ok = (sub_iota >= sub_off) & (sub_iota < sub_off + m_count)
-
-            # One ray row (8 sublanes of the packet) per fori iteration:
-            # [LEAF, 128] vreg tiles (128 tris x 128 rays). The loop only
-            # finds each ray's candidate (t, tri index); the winner readback
-            # (gathers + attribute interpolation) happens ONCE per leaf on
-            # [8, 128] planes afterwards.
-            best_t_plane = bt
-
-            def row_body(r, carry):
-                cand_t, cand_idx, cand_u, cand_v, cand_att = carry
-                r_mask = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == r
-
-                def row(plane):  # row r of [8,128] without dynamic_slice
-                    return jnp.sum(jnp.where(r_mask, plane, 0.0), axis=0)
-
-                orx, ory, orz = row(ox), row(oy), row(oz)  # [128]
-                drx, dry, drz = row(dx), row(dy), row(dz)
-
-                # o'_k = R_k . o + b_k ; d'_k = R_k . d   -> [LEAF, 128]
-                opz = W[8] * orx + W[9] * ory + W[10] * orz + W[11]
-                dpz = W[8] * drx + W[9] * dry + W[10] * drz
-                # Front-facing iff d'z < 0 (MT det = -d.n); guard the rcp.
-                dz_ok = dpz < 0.0
-                inv_dz = jnp.where(dz_ok, 1.0 / jnp.where(dz_ok, dpz, -1.0), 0.0)
-                tt = -opz * inv_dz
-                opx = W[0] * orx + W[1] * ory + W[2] * orz + W[3]
-                dpx = W[0] * drx + W[1] * dry + W[2] * drz
-                opy = W[4] * orx + W[5] * ory + W[6] * orz + W[7]
-                dpy = W[4] * drx + W[5] * dry + W[6] * drz
-                uu = opx + tt * dpx
-                vv = opy + tt * dpy
-                bt_r = row(best_t_plane)  # [128] best before this leaf
-                ok = (
-                    dz_ok & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                    & (tt > EPS) & (tt < bt_r) & lane_ok
-                )
-                tt = jnp.where(ok, tt, jnp.float32(BIG))
-                row_best = jnp.min(tt, axis=0)  # [128]
-                oh_raw = (tt == row_best) & ok  # [LEAF, 128]
-                # First-match tie-break: smallest sublane index among ties.
-                win_idx = jnp.min(
-                    jnp.where(oh_raw, sub_iota, jnp.int32(LEAF)), axis=0
-                )  # [128]
-                # Winner u/v by min-trick over the ONE-hot (u,v >= 0, so a
-                # masked min extracts the winning slot's value): this keeps
-                # the woop table out of the phase-2 readback entirely.
-                oh1 = oh_raw & (sub_iota == win_idx[None, :])
-                u_row = jnp.min(jnp.where(oh1, uu, jnp.float32(BIG)), axis=0)
-                v_row = jnp.min(jnp.where(oh1, vv, jnp.float32(BIG)), axis=0)
-                upd = r_mask  # write this row's results
-                cand_t = jnp.where(upd, row_best[None, :], cand_t)
-                cand_idx = jnp.where(upd, win_idx[None, :], cand_idx)
-                cand_u = jnp.where(upd, u_row[None, :], cand_u)
-                cand_v = jnp.where(upd, v_row[None, :], cand_v)
-                if mt_comps:
-                    # Interpolate on the [LEAF, 128] grid, then min-extract
-                    # the single winning slot per lane (oh1 is one-hot per
-                    # column; any value < BIG extracts exactly). Numerics
-                    # match resolve(): same w*c0 + u*c1 + v*c2 FMA order on
-                    # the same (bf16-unpacked) corner values.
-                    wbar = 1.0 - uu - vv
-                    new_att = []
-                    for (c0, c1, c2), plane in zip(mt_comps, cand_att):
-                        val = c0 if c1 is None else (
-                            wbar * c0 + uu * c1 + vv * c2
-                        )
-                        a_row = jnp.min(
-                            jnp.where(oh1, val, jnp.float32(BIG)), axis=0
-                        )
-                        new_att.append(
-                            jnp.where(upd, a_row[None, :], plane)
-                        )
-                    cand_att = tuple(new_att)
-                return (cand_t, cand_idx, cand_u, cand_v, cand_att)
-
-            att0 = tuple(
-                jnp.zeros((8, 128), jnp.float32) for _ in mt_comps
-            )
-            if "nomt" in _ABLATE:
-                cand_t = jnp.full((8, 128), jnp.float32(BIG)) - ox
-                cand_idx = jnp.zeros((8, 128), jnp.int32)
-                cand_u = cand_v = jnp.zeros((8, 128), jnp.float32)
-                cand_att = att0
-            else:
-                cand_t, cand_idx, cand_u, cand_v, cand_att = jax.lax.fori_loop(
-                    0, 8, row_body,
-                    (jnp.full((8, 128), jnp.float32(BIG)),
-                     jnp.full((8, 128), jnp.int32(LEAF)),
-                     jnp.zeros((8, 128), jnp.float32),
-                     jnp.zeros((8, 128), jnp.float32),
-                     att0),
-                )
-
-            imp = cand_t < best_t_plane  # [8, 128]
-            # record the winner identity + its barycentrics; the attribute
-            # fetch resolves in phase 2, once per distinct winning chunk.
-            acc_ref[0] = jnp.where(imp, jnp.float32(1.0) * chunk_base, acc_ref[0])
-            acc_ref[1] = jnp.where(imp, cand_idx.astype(jnp.float32), acc_ref[1])
-            acc_ref[2] = jnp.where(imp, cand_u, acc_ref[2])
-            acc_ref[3] = jnp.where(imp, cand_v, acc_ref[3])
-            if mt_comps:
-                # 'mt' readback: the loop already extracted the winner's
-                # interpolated attributes — commit the improving lanes.
-                for k, plane in enumerate(cand_att):
-                    acc_ref[4 + k] = jnp.where(imp, plane, acc_ref[4 + k])
-            if rb_mode in ("list", "arena", "vlist") and (
-                    "noappend" not in _ABLATE):
-                # Append this chunk to the phase-2 candidate list (scalar
-                # SMEM ops, consecutive-dup suppressed). The final winner
-                # chunk of every lane is the chunk of its LAST improving
-                # visit, so (absent overflow) the list is a superset of the
-                # distinct winner chunks — phase 2 then runs as a counter-
-                # bounded loop with NO vector->scalar extraction in its
-                # control path. 'list'/'arena' gate the append on "did this
-                # visit improve any lane" — but that imp_any read IS a
-                # vector->scalar sync (~0.85us/visit, session K). 'vlist'
-                # appends EVERY leaf visit unconditionally: chunk_base and
-                # the counter are pure scalars, so traversal never touches
-                # vector state; the longer list is cheap because its phase
-                # 2 batches DMAs and resolves statically (arena-style).
-                kk = rbl_ref[0]
-                prev = rbl_ref[kk + 1]  # entry kk-1 (rbl_ref[1]=ovf if kk==0)
-                dup = jnp.logical_and(kk > 0, prev == chunk_base)
-                if rb_mode == "vlist":
-                    want = jnp.logical_not(dup)
-                else:
-                    imp_any = jnp.max(imp.astype(jnp.int32))
-                    want = jnp.logical_and(imp_any > 0, jnp.logical_not(dup))
-
-                @pl.when(jnp.logical_and(want, kk < LIST_CAP))
-                def _():
-                    rbl_ref[kk + 2] = chunk_base
-                    rbl_ref[0] = kk + 1
-
-                @pl.when(jnp.logical_and(want, kk >= LIST_CAP))
-                def _():
-                    rbl_ref[1] = 1
-
-                if rb_mode == "arena":
-                    # Stamp improving lanes with this visit's list entry
-                    # (the just-appended index, or the previous one on a
-                    # consecutive dup). On overflow the stamp is stale —
-                    # the ovf flag routes the whole packet to the minloop.
-                    ent = jnp.where(dup, kk - 1, kk).astype(jnp.float32)
-                    acc_ref[4 + num_out] = jnp.where(
-                        imp, ent, acc_ref[4 + num_out]
-                    )
-            if rb_mode == "fused" and "noreadback" not in _ABLATE:
-                # Per-visit winner readback, PURE vector ops: the chunk's
-                # attributes arrived with the woop rows in the single
-                # visit DMA, the winning slot's values come out by in-row
-                # gather under the improved mask, and nothing scalar ever
-                # reads vector state — so the scalar pipe keeps running
-                # ahead.
-                resolve(w_s[WOOP_ROWS:, :], imp,
-                        jnp.clip(cand_idx, 0, LEAF - 1), cand_u, cand_v)
-            return (sp_in, jnp.where(imp, cand_t, bt))
+            return (sp_in, leaf_mt(0, chunk_base, sub_off, m_count, bt))
 
         return jax.lax.cond(is_leaf, leaf_case, inner_case, sp, c[1])
 
@@ -834,6 +905,20 @@ def _packet_body(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
     else:
         out = jax.lax.while_loop(cond, body, init)
         t_final = out[1]
+
+    if leaf_pipeline:
+        # Flush the last pending leaf (its DMA completed long ago).
+        def flush(b):
+            par = rbl_ref[0]  # buffer of the NEXT leaf; pending is 1 - par
+            opp = 1 - par
+            pch = pl.multiple_of(rbl_ref[1], LEAF)
+            pltpu.make_async_copy(
+                tab_ref.at[:, pl.ds(pch, LEAF)],
+                w_s.at[pl.ds(opp * ROWS_W, ROWS_W), :],
+                dma_sems.at[opp]).wait()
+            return leaf_mt(opp * ROWS_W, pch, rbl_ref[2], rbl_ref[3], b)
+
+        t_final = jax.lax.cond(rbl_ref[1] >= 0, flush, lambda b: b, t_final)
 
     # Winner GLOBAL slot (chunk base + in-chunk index; -1 = miss), written
     # before phase 2 consumes acc[0]. Exact in f32 up to 2^24 slots. Feeds
@@ -1129,7 +1214,7 @@ def pallas_intersect(
     stack_depth: int = 64, interpret: bool = False,
     packets_per_step: int = 2, return_slot: bool = False,
     rb_window: int = 1, rb_prefetch: bool = False, rb_gather: str = "take",
-    rb_mode: str = "minloop",
+    rb_mode: str = "minloop", leaf_pipeline: bool = False,
 ):
     """Full wavefront intersection via the Pallas kernel.
 
@@ -1173,6 +1258,12 @@ def pallas_intersect(
             f"rb_mode={rb_mode!r} resolves one 128-slot chunk at a time: "
             "requires rb_window=1 and rb_prefetch=False"
         )
+    if leaf_pipeline and rb_mode != "fused":
+        raise ValueError(
+            "leaf_pipeline requires rb_mode='fused' (the pipelined leaf "
+            "MT resolves attributes in place; phase-2 modes and 'mt' are "
+            "not wired for double-buffered chunks)"
+        )
     na = _num_out_attrs(huv, wt)
     out_planes = 4 + na  # t, u, v, attrs, winner slot
     pps = min(packets_per_step, k)
@@ -1185,6 +1276,7 @@ def pallas_intersect(
         num_out=na, packets_per_step=pps, rb_window=rb_window,
         rb_prefetch=rb_prefetch, rb_gather=rb_gather,
         rb_packed=tables.packed, rb_mode=rb_mode,
+        leaf_pipeline=leaf_pipeline,
     )
 
     def kernel_wrap(nb, nm, tab, rays_blk, out_blk,
@@ -1197,6 +1289,8 @@ def pallas_intersect(
     # wait per leaf visit); the phase-2 modes copy only the woop rows and
     # window attribute rows into a_s during phase 2.
     w_rows = tables.tab.shape[0] if rb_mode in ("fused", "mt") else WOOP_ROWS
+    if leaf_pipeline:
+        w_rows *= 2  # double-buffered pending/current leaf chunks
 
     out = pl.pallas_call(
         kernel_wrap,
@@ -1309,7 +1403,8 @@ def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,
                             return_slot: bool = False, rb_window: int = 1,
                             rb_prefetch: bool = False,
                             rb_gather: str = "take",
-                            rb_mode: str = "minloop"):
+                            rb_mode: str = "minloop",
+                            leaf_pipeline: bool = False):
     """Rich IntersectFn backed by the Pallas kernel, or None if the scene
     doesn't fit the VMEM budget. The returned function carries its
     PallasSceneTables as `.tables` (slot_tri maps winner slots to tris)."""
@@ -1323,7 +1418,7 @@ def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,
                                 stack_depth=stack_depth, interpret=interpret,
                                 return_slot=return_slot, rb_window=rb_window,
                                 rb_prefetch=rb_prefetch, rb_gather=rb_gather,
-                                rb_mode=rb_mode)
+                                rb_mode=rb_mode, leaf_pipeline=leaf_pipeline)
 
     intersect.tables = tables
     return intersect

@@ -330,6 +330,7 @@ class Renderer:
                 rbp = self.cfg.pallas_rb_prefetch
                 rbg = self.cfg.pallas_rb_gather
                 rbm = self.cfg.pallas_rb_mode
+                pipe = self.cfg.pallas_leaf_pipeline
                 self._accel_data = tables
 
                 def bind(sc, acc):
@@ -338,6 +339,7 @@ class Renderer:
                             o, d, act, acc, stack_depth=depth,
                             packets_per_step=pps, rb_window=rbw,
                             rb_prefetch=rbp, rb_gather=rbg, rb_mode=rbm,
+                            leaf_pipeline=pipe,
                         )
                     )
 
