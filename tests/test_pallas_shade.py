@@ -182,3 +182,32 @@ def test_full_render_with_shade_stage():
     assert int(rays_x) == int(rays_k)
     np.testing.assert_array_equal(np.asarray(st_x.accum),
                                   np.asarray(st_k.accum))
+
+
+def test_shade_dead_packet_fast_path():
+    """A fully-dead packet must pass its state through verbatim."""
+    scene = default_scene(32, 24).build()
+    n = 2048
+    rng = np.random.default_rng(3)
+    o = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    thr = jnp.asarray(rng.uniform(0.1, 1.0, (n, 3)).astype(np.float32))
+    rad = jnp.asarray(rng.uniform(0.0, 2.0, (n, 3)).astype(np.float32))
+    pix = jnp.asarray(rng.integers(0, 1 << 20, n).astype(np.uint32))
+    alive = jnp.ones((n,), bool).at[0:1024].set(False)  # packet 0 dead
+    hit_mask, t, normal, mat = _canned(scene, n, rng)
+    mtab = build_material_table(scene.materials)
+    num_m = int(np.asarray(scene.materials.albedo).shape[0])
+    o2, d2, thr2, rad2, alive2 = shade_packets(
+        o, d, thr, rad, alive, pix, hit_mask, t, normal, mat, mtab,
+        jnp.uint32(1), jnp.int32(0), num_materials=num_m, seed=7,
+        russian_roulette=True, interpret=True)
+    dead = slice(0, 1024)
+    np.testing.assert_array_equal(np.asarray(o2)[dead], np.asarray(o)[dead])
+    np.testing.assert_array_equal(np.asarray(d2)[dead], np.asarray(d)[dead])
+    np.testing.assert_array_equal(np.asarray(thr2)[dead],
+                                  np.asarray(thr)[dead])
+    np.testing.assert_array_equal(np.asarray(rad2)[dead],
+                                  np.asarray(rad)[dead])
+    assert not np.asarray(alive2)[dead].any()
+    assert np.asarray(alive2)[1024:].any()

@@ -72,9 +72,21 @@ def _kernel(sc_ref, state_ref, hit_ref, mtab_ref, out_ref,
     bounce = sc_ref[1].astype(jnp.uint32)
 
     for pkt in range(packets_per_step):
-        _shade_packet(sample_key, bounce, state_ref, hit_ref, mtab_ref,
-                      out_ref, pkt, num_materials=num_materials, seed=seed,
-                      russian_roulette=russian_roulette)
+        # Dead-packet fast path (mirrors the intersect kernel's): on late
+        # waves with deep compaction most packets have no live lane — their
+        # next state is their current state, verbatim.
+        any_live = jnp.max(state_ref[pkt, _S_ALIVE]) > 0.0
+
+        @pl.when(any_live)
+        def _(pkt=pkt):
+            _shade_packet(sample_key, bounce, state_ref, hit_ref, mtab_ref,
+                          out_ref, pkt, num_materials=num_materials,
+                          seed=seed, russian_roulette=russian_roulette)
+
+        @pl.when(jnp.logical_not(any_live))
+        def _(pkt=pkt):
+            for k in range(STATE_PLANES - 1):
+                out_ref[pkt, k] = state_ref[pkt, k]
 
 
 def _shade_packet(sample_key, bounce, state_ref, hit_ref, mtab_ref, out_ref,
