@@ -78,9 +78,13 @@ def _check_divisible(cfg: RenderConfig, mesh: Mesh):
     return nd, ns
 
 
-def make_sharded_render_step(cfg: RenderConfig, mesh: Mesh, intersect_fn=None):
+def make_sharded_render_step(cfg: RenderConfig, mesh: Mesh, intersect_fn=None,
+                             shade_fn=None):
     """jitted (scene, state) -> (state', rays) with rows sharded over 'data'
-    and spp over 'sample'. Bit-identical to the single-chip render."""
+    and spp over 'sample'. Bit-identical to the single-chip render.
+    shade_fn: optional on-core shading stage (ops/pallas_shade.py) — runs
+    per shard; bit-identical to the XLA shading, so sharded == single-chip
+    still holds."""
     nd, ns = _check_divisible(cfg, mesh)
     rows_per = cfg.height // nd
     spp_per = cfg.spp // ns
@@ -100,6 +104,7 @@ def make_sharded_render_step(cfg: RenderConfig, mesh: Mesh, intersect_fn=None):
             cfg,
             frame,
             intersect_fn,
+            shade_fn=shade_fn,
             row_offset=di * rows_per,
             num_rows=rows_per,
             spp_offset=si * spp_per,
@@ -157,6 +162,7 @@ def make_sharded_train_step(
             cfg,
             frame,
             intersect_fn,
+            shade_fn=shade_fn,
             row_offset=di * rows_per,
             num_rows=rows_per,
             spp_offset=si * spp_per,
