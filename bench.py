@@ -136,12 +136,22 @@ def main():
     try:
         state, rays = r.step_many(scene, state, total)
     except Exception as e:
-        print(f"[bench] pallas path failed ({type(e).__name__}); falling back "
-              f"to XLA packet path", file=sys.stderr)
-        cfg = cfg.replace(use_pallas=False)
-        r = Renderer(cfg)
-        state = init_state(cfg)
-        state, rays = r.step_many(scene, state, total)
+        # Fallback ladder: drop the shade stage first (keep the fast
+        # intersect kernel), then the whole Pallas path.
+        print(f"[bench] pallas path failed ({type(e).__name__}); retrying "
+              f"without the shade stage", file=sys.stderr)
+        try:
+            cfg = cfg.replace(use_pallas_shade=False)
+            r = Renderer(cfg)
+            state = init_state(cfg)
+            state, rays = r.step_many(scene, state, total)
+        except Exception as e2:
+            print(f"[bench] still failing ({type(e2).__name__}); falling "
+                  f"back to XLA packet path", file=sys.stderr)
+            cfg = cfg.replace(use_pallas=False)
+            r = Renderer(cfg)
+            state = init_state(cfg)
+            state, rays = r.step_many(scene, state, total)
     t1 = time.perf_counter()
     print(f"[bench] warmup (compile + {total} frames): {t1 - t0:.1f}s, "
           f"rays={int(rays)}", file=sys.stderr)

