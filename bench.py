@@ -124,6 +124,7 @@ def main():
         pallas_rb_mode=os.environ.get("TRACY_BENCH_RBM", "fused"),
         pallas_leaf_pipeline=os.environ.get("TRACY_BENCH_PIPE", "0") == "1",
         use_pallas_shade=os.environ.get("TRACY_BENCH_SHADE", "1") == "1",
+        use_pallas_bounce=os.environ.get("TRACY_BENCH_BOUNCE", "0") == "1",
     )
     r = Renderer(cfg)
     state = init_state(cfg)
@@ -141,7 +142,7 @@ def main():
         print(f"[bench] pallas path failed ({type(e).__name__}); retrying "
               f"without the shade stage", file=sys.stderr)
         try:
-            cfg = cfg.replace(use_pallas_shade=False)
+            cfg = cfg.replace(use_pallas_shade=False, use_pallas_bounce=False)
             r = Renderer(cfg)
             state = init_state(cfg)
             state, rays = r.step_many(scene, state, total)

@@ -211,3 +211,50 @@ def test_shade_dead_packet_fast_path():
                                   np.asarray(rad)[dead])
     assert not np.asarray(alive2)[dead].any()
     assert np.asarray(alive2)[1024:].any()
+
+
+@pytest.mark.parametrize("compact", [0, 1024])
+def test_fused_bounce_megakernel(compact):
+    """The fused bounce megakernel (intersect + shade in one Pallas kernel,
+    optionally compaction-wrapped) must render bit-identically to the
+    plain XLA bounce loop with the same intersector family."""
+    from tracy_tpu.accel.packet import build_packet_bvh
+    from tracy_tpu.accel.reorder import compact_bounce
+    from tracy_tpu.ops.pallas_packet import (
+        build_tables, nondiff_intersector, pallas_intersect,
+        pallas_trace_bounce,
+    )
+    from tracy_tpu.render.renderer import init_state, render_step
+
+    b = load_scene("/root/reference/data/scenes/cornell.scn",
+                   data_root="/root/reference")
+    b.width, b.height = 64, 64
+    scene = b.build()
+    cfg = RenderConfig(width=64, height=64, spp=1, accel="packet",
+                       use_pallas=False)
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    tables = build_tables(scene, bvh, with_tangent=False)
+    mtab = build_material_table(scene.materials)
+    num_m = int(np.asarray(scene.materials.albedo).shape[0])
+
+    isect = nondiff_intersector(
+        lambda o, d, a: pallas_intersect(o, d, a, tables, interpret=True,
+                                         rb_mode="fused"))
+
+    def bounce(o, d, thr, rad, alive, pix, skey, bounce_i):
+        return pallas_trace_bounce(
+            o, d, thr, rad, alive, pix, tables, mtab, skey, bounce_i,
+            num_materials=num_m, seed=cfg.seed,
+            russian_roulette=cfg.russian_roulette, interpret=True)
+
+    bounce_fn = compact_bounce(bounce, compact) if compact else bounce
+
+    st_x, rays_x = jax.jit(
+        lambda st: render_step(scene, st, cfg, isect)
+    )(init_state(cfg))
+    st_b, rays_b = jax.jit(
+        lambda st: render_step(scene, st, cfg, isect, bounce_fn=bounce_fn)
+    )(init_state(cfg))
+    assert int(rays_x) == int(rays_b)
+    np.testing.assert_array_equal(np.asarray(st_x.accum),
+                                  np.asarray(st_b.accum))

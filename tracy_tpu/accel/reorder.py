@@ -208,3 +208,65 @@ def compact_intersector(intersect_fn, group: int = 4096,
         return hit_out, attrs_out
 
     return wrapped
+
+
+def compact_bounce(bounce_fn, group: int = 4096):
+    """Wrap a FUSED-BOUNCE fn (ops/pallas_packet.pallas_trace_bounce
+    signature minus the static config: (o, d, thr, rad, alive, pix, skey,
+    bounce) -> next (o, d, thr, rad, alive)) with per-wave live-ray
+    compaction. All 14 state planes route down (pixel ids as raw bits);
+    the 13 next-state planes route back; dead lanes keep their original
+    state verbatim (exactly the uncompacted kernel's pass-through)."""
+    assert group & (group - 1) == 0, "group must be a power of two"
+
+    def wrapped(origin, direction, throughput, radiance, alive, pix,
+                sample_key, bounce):
+        n = origin.shape[0]
+        npad = -(-n // group) * group
+        if npad != n:
+            p = npad - n
+            origin = jnp.pad(origin, ((0, p), (0, 0)))
+            direction = jnp.pad(direction, ((0, p), (0, 0)),
+                                constant_values=1.0)
+            throughput = jnp.pad(throughput, ((0, p), (0, 0)))
+            radiance = jnp.pad(radiance, ((0, p), (0, 0)))
+            alive = jnp.pad(alive, (0, p))
+            pix = jnp.pad(pix, (0, p))
+
+        b = npad // group
+        pixf = jax.lax.bitcast_convert_type(
+            pix.astype(jnp.uint32), jnp.float32)
+        dead = (~alive).astype(jnp.int32).reshape(b, group)
+        dist = (jnp.cumsum(dead, axis=1) - dead)[..., None]
+        payload = jnp.concatenate(
+            [origin, direction, throughput, radiance, pixf[:, None]], axis=1
+        ).reshape(b, group, 13)
+        valid = alive.astype(jnp.float32).reshape(b, group, 1)
+        x, valid_c, dist_c = _route(payload, valid, dist, group, down=True)
+        o_c = x[..., 0:3].reshape(npad, 3)
+        d_c = x[..., 3:6].reshape(npad, 3)
+        t_c = x[..., 6:9].reshape(npad, 3)
+        r_c = x[..., 9:12].reshape(npad, 3)
+        pix_c = jax.lax.bitcast_convert_type(
+            x[..., 12].reshape(npad), jnp.uint32)
+        a_c = (valid_c > 0.5).reshape(npad)
+
+        o2, d2, t2, r2, a2 = bounce_fn(o_c, d_c, t_c, r_c, a_c, pix_c,
+                                       sample_key, bounce)
+
+        planes = jnp.concatenate(
+            [o2, d2, t2, r2, a2.astype(jnp.float32)[:, None]], axis=1)
+        r = scatter_results(planes, dist_c.reshape(npad),
+                            valid_c.reshape(npad), group)
+        live = alive[:n]
+
+        def sel(lo, hi, orig):
+            return jnp.where(live[:, None], r[:n, lo:hi], orig[:n])
+
+        return (
+            sel(0, 3, origin), sel(3, 6, direction), sel(6, 9, throughput),
+            sel(9, 12, radiance),
+            jnp.where(live, r[:n, 12] > 0.5, False),
+        )
+
+    return wrapped

@@ -145,6 +145,13 @@ class RenderConfig:
     # one leaf — pruning hint only). Requires pallas_rb_mode='fused'.
     pallas_leaf_pipeline: bool = False
 
+    # FUSED bounce megakernel: intersect + shade in ONE Pallas kernel per
+    # wave (ops/pallas_packet.pallas_trace_bounce) — the wavefront state
+    # never round-trips HBM between intersection and shading. Same
+    # eligibility as use_pallas_shade plus rb_mode='fused'; supersedes the
+    # two-stage path when it engages. Bit-identical (tested).
+    use_pallas_bounce: bool = False
+
     # On-core shading stage (ops/pallas_shade.py): run the whole bounce's
     # material lookup + scatter + sky + RR + RNG as a Pallas kernel on the
     # wavefront planes. Engages only when ALL of: TPU backend, use_pallas,

@@ -314,7 +314,8 @@ def _kernel(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
             *, stack_depth: int, has_uv: bool, with_tangent: bool,
             num_out: int, packets_per_step: int, rb_window: int,
             rb_prefetch: bool, rb_gather: str, rb_packed: bool,
-            rb_mode: str, leaf_pipeline: bool = False):
+            rb_mode: str, leaf_pipeline: bool = False,
+            shade: dict = None, sc_ref=None, mtab_ref=None):
     """One grid step = `packets_per_step` packets, unrolled with STATIC
     packet indices. Round 1 looped packets with fori and indexed
     rays_ref/out_ref by the traced loop index — a value-level dynamic
@@ -323,7 +324,37 @@ def _kernel(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
     cost only 294us — a flat ~50us both pay). Static indices remove it.
     rays_ref [PPS, 7, 8, 128]; out_ref [PPS, 3 + num_out, 8, 128]."""
 
+    from tracy_tpu.ops import pallas_shade as _ps
+
+    if shade is not None:
+        sample_key = sc_ref[0].astype(jnp.uint32)
+        bounce = sc_ref[1].astype(jnp.uint32)
+
     for pkt in range(packets_per_step):
+        if shade is not None:
+            # Fused bounce: intersect THEN shade in one kernel; the state
+            # planes pass through verbatim for dead packets.
+            any_live = jnp.max(rays_ref[pkt, _ps._S_ALIVE]) > 0.0
+
+            @pl.when(any_live)
+            def _(pkt=pkt):
+                _packet_body(nb_ref, nm_ref, tab_ref,
+                             rays_ref, out_ref, pkt, stack_ref, w_s, a_s,
+                             a_s2, acc_ref, rbl_ref, dma_sems,
+                             stack_depth=stack_depth,
+                             has_uv=has_uv, with_tangent=with_tangent,
+                             num_out=num_out, rb_window=rb_window,
+                             rb_prefetch=rb_prefetch, rb_gather=rb_gather,
+                             rb_packed=rb_packed, rb_mode=rb_mode,
+                             leaf_pipeline=leaf_pipeline, shade=shade,
+                             shade_keys=(sample_key, bounce),
+                             mtab_ref=mtab_ref)
+
+            @pl.when(jnp.logical_not(any_live))
+            def _(pkt=pkt):
+                for k in range(_ps.STATE_PLANES - 1):
+                    out_ref[pkt, k] = rays_ref[pkt, k]
+            continue
         if "nofastpath" in _ABLATE:
             # Timing bisection: run every packet body unconditionally (the
             # pre-892d708 structure; dead packets pay the ~13.7us floor).
@@ -367,7 +398,10 @@ def _packet_body(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
                  *, stack_depth: int, has_uv: bool, with_tangent: bool,
                  num_out: int, rb_window: int, rb_prefetch: bool,
                  rb_gather: str, rb_packed: bool, rb_mode: str,
-                 leaf_pipeline: bool = False):
+                 leaf_pipeline: bool = False, shade: dict = None,
+                 shade_keys=None, mtab_ref=None):
+    from tracy_tpu.ops import pallas_shade as _ps
+
     # Per-plane reads (a whole-block read would materialize all 7 planes
     # into vregs before the dead-packet branch could skip them).
     ox = rays_ref[pkt, 0]
@@ -376,7 +410,7 @@ def _packet_body(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
     dx = rays_ref[pkt, 3]
     dy = rays_ref[pkt, 4]
     dz = rays_ref[pkt, 5]
-    active = rays_ref[pkt, 6] > 0.0
+    active = rays_ref[pkt, _ps._S_ALIVE if shade is not None else 6] > 0.0
 
     def safe_inv(x):
         return jnp.clip(
@@ -920,6 +954,26 @@ def _packet_body(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
 
         t_final = jax.lax.cond(rbl_ref[1] >= 0, flush, lambda b: b, t_final)
 
+    if shade is not None:
+        # ---- fused bounce: shade in place of hit-plane outputs ----------
+        # acc layout (untextured fused rb): [4..6] = normal xyz, [7] = mat.
+        sample_key, bounce = shade_keys
+        mask_f = ((t_final > 0.0) & (t_final < BIG)).astype(jnp.float32)
+        state = tuple(rays_ref[pkt, k] for k in range(_ps.STATE_PLANES))
+        hitp = (mask_f, t_final, acc_ref[4], acc_ref[5], acc_ref[6],
+                acc_ref[7])
+
+        def mread(row, m):
+            return mtab_ref[row, m]
+
+        outs = _ps.shade_planes(
+            sample_key, bounce, state, hitp, mread,
+            num_materials=shade["num_materials"], seed=shade["seed"],
+            russian_roulette=shade["russian_roulette"])
+        for k, v in enumerate(outs):
+            out_ref[pkt, k] = v
+        return
+
     # Winner GLOBAL slot (chunk base + in-chunk index; -1 = miss), written
     # before phase 2 consumes acc[0]. Exact in f32 up to 2^24 slots. Feeds
     # the winner-recompute differentiable intersector (diff/gradients.py).
@@ -1356,6 +1410,120 @@ def pallas_intersect(
         slot = jnp.round(flat(3 + na)).astype(jnp.int32)
         return hit, attrs, jnp.where(mask, slot, -1)
     return hit, attrs
+
+
+def pallas_trace_bounce(
+    origin, direction, throughput, radiance, alive, pixel_idx,
+    tables: PallasSceneTables, mtab, sample_key, bounce,
+    *, num_materials: int, seed: int, russian_roulette: bool,
+    stack_depth: int = 64, interpret: bool = False,
+    packets_per_step: int = 2, leaf_pipeline: bool = False,
+):
+    """FUSED BOUNCE megakernel: packet BVH traversal + leaf MT + winner
+    attributes + the WHOLE shading step (material lookup, scatter, sky,
+    Russian roulette, counter RNG) in ONE kernel — the wavefront state
+    never round-trips HBM between intersection and shading (the analogue
+    of the reference CUDA megakernel, cuda_trace.cu:73-135, done the TPU
+    way). Untextured scenes, rb_mode='fused' readback.
+
+    Returns the next (origin, direction, throughput, radiance, alive) —
+    bit-identical to pallas_intersect + ops/pallas_shade.shade_packets.
+    """
+    if tables.has_uv or tables.with_tangent:
+        raise ValueError("pallas_trace_bounce: untextured scenes only")
+    n = origin.shape[0]
+    npad = -(-n // PACKET) * PACKET
+    if npad != n:
+        pad = npad - n
+        origin = jnp.pad(origin, ((0, pad), (0, 0)))
+        direction = jnp.pad(direction, ((0, pad), (0, 0)),
+                            constant_values=1.0)
+        throughput = jnp.pad(throughput, ((0, pad), (0, 0)))
+        radiance = jnp.pad(radiance, ((0, pad), (0, 0)))
+        alive = jnp.pad(alive, (0, pad))
+        pixel_idx = jnp.pad(pixel_idx, (0, pad))
+    k = npad // PACKET
+
+    from tracy_tpu.ops import pallas_shade as _ps
+
+    pixf = jax.lax.bitcast_convert_type(
+        pixel_idx.astype(jnp.uint32), jnp.float32)
+    planes = [origin[:, 0], origin[:, 1], origin[:, 2],
+              direction[:, 0], direction[:, 1], direction[:, 2],
+              throughput[:, 0], throughput[:, 1], throughput[:, 2],
+              radiance[:, 0], radiance[:, 1], radiance[:, 2],
+              alive.astype(jnp.float32), pixf]
+    rays = jnp.concatenate(
+        [x.reshape(k, 1, 8, 128) for x in planes], axis=1
+    )  # [k, STATE_PLANES, 8, 128]
+    sc = jnp.stack([jnp.asarray(sample_key, jnp.int32),
+                    jnp.asarray(bounce, jnp.int32)])
+
+    na = _num_out_attrs(False, False)
+    pps = min(packets_per_step, k)
+    while k % pps != 0:
+        pps -= 1
+    ksteps = k // pps
+    shade = dict(num_materials=num_materials, seed=seed,
+                 russian_roulette=russian_roulette)
+
+    def kernel_wrap(sc_r, mtab_r, nb, nm, tab, rays_blk, out_blk,
+                    stack, w_s, a_s, a_s2, acc, rbl, sems):
+        _kernel(nb, nm, tab, rays_blk, out_blk,
+                stack, w_s, a_s, a_s2, acc, rbl, sems,
+                stack_depth=stack_depth, has_uv=False, with_tangent=False,
+                num_out=na, packets_per_step=pps, rb_window=1,
+                rb_prefetch=False, rb_gather="take",
+                rb_packed=tables.packed, rb_mode="fused",
+                leaf_pipeline=leaf_pipeline, shade=shade, sc_ref=sc_r,
+                mtab_ref=mtab_r)
+
+    attr_rows = tables.tab.shape[0] - WOOP_ROWS
+    w_rows = tables.tab.shape[0] * (2 if leaf_pipeline else 1)
+    out_planes = _ps.STATE_PLANES - 1
+
+    out = pl.pallas_call(
+        kernel_wrap,
+        out_shape=jax.ShapeDtypeStruct((k, out_planes, 8, 128), jnp.float32),
+        grid=(ksteps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(mtab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM,
+                         pipeline_mode=pl.Buffered(buffer_count=1)),
+            pl.BlockSpec(tables.node_bounds.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM,
+                         pipeline_mode=pl.Buffered(buffer_count=1)),
+            pl.BlockSpec(tables.node_meta.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM,
+                         pipeline_mode=pl.Buffered(buffer_count=1)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((pps, _ps.STATE_PLANES, 8, 128),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((pps, out_planes, 8, 128),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((stack_depth,), jnp.int32),
+            pltpu.VMEM((w_rows, LEAF), jnp.float32),
+            pltpu.VMEM((attr_rows, LEAF), jnp.float32),
+            pltpu.VMEM((attr_rows, LEAF), jnp.float32),
+            pltpu.VMEM((4 + na, 8, 128), jnp.float32),
+            pltpu.SMEM((LIST_CAP + 2,), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(sc, mtab, tables.node_bounds, tables.node_meta, tables.tab, rays)
+
+    def flat(p):
+        return out[:, p].reshape(npad)[:n]
+
+    o2 = jnp.stack([flat(0), flat(1), flat(2)], axis=-1)
+    d2 = jnp.stack([flat(3), flat(4), flat(5)], axis=-1)
+    thr = jnp.stack([flat(6), flat(7), flat(8)], axis=-1)
+    rad = jnp.stack([flat(9), flat(10), flat(11)], axis=-1)
+    return o2, d2, thr, rad, flat(12) > 0.0
 
 
 def nondiff_intersector(intersect):

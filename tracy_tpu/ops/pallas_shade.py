@@ -92,17 +92,38 @@ def _kernel(sc_ref, state_ref, hit_ref, mtab_ref, out_ref,
 def _shade_packet(sample_key, bounce, state_ref, hit_ref, mtab_ref, out_ref,
                   pkt, *, num_materials: int, seed: int,
                   russian_roulette: bool):
-    ox, oy, oz = (state_ref[pkt, k] for k in (_S_OX, _S_OY, _S_OZ))
-    dx, dy, dz = (state_ref[pkt, k] for k in (_S_DX, _S_DY, _S_DZ))
-    thr = [state_ref[pkt, k] for k in (_S_TR, _S_TG, _S_TB)]
-    rad = [state_ref[pkt, k] for k in (_S_RR, _S_RG, _S_RB)]
-    alive = state_ref[pkt, _S_ALIVE] > 0.0
-    pix = jax.lax.bitcast_convert_type(state_ref[pkt, _S_PIX], jnp.uint32)
+    state = tuple(state_ref[pkt, k] for k in range(STATE_PLANES))
+    hitp = tuple(hit_ref[pkt, k] for k in range(HIT_PLANES))
 
-    hmask = hit_ref[pkt, _H_MASK] > 0.0
-    t = hit_ref[pkt, _H_T]
-    nx, ny, nz = (hit_ref[pkt, k] for k in (_H_NX, _H_NY, _H_NZ))
-    mat = hit_ref[pkt, _H_MAT]
+    def mread(row, m):
+        return mtab_ref[row, m]
+
+    outs = shade_planes(sample_key, bounce, state, hitp, mread,
+                        num_materials=num_materials, seed=seed,
+                        russian_roulette=russian_roulette)
+    for k, v in enumerate(outs):
+        out_ref[pkt, k] = v
+
+
+def shade_planes(sample_key, bounce, state, hitp, mread, *,
+                 num_materials: int, seed: int, russian_roulette: bool):
+    """One bounce of shading on [8, 128] planes — pure values, no refs,
+    shared by the standalone shade kernel and the fused bounce kernel.
+
+    state: 14 planes (STATE_PLANES order); hitp: 6 planes (HIT_PLANES
+    order); mread(row, m) -> scalar material-table entry. Returns the 13
+    output planes (STATE_PLANES minus pix)."""
+    ox, oy, oz = (state[k] for k in (_S_OX, _S_OY, _S_OZ))
+    dx, dy, dz = (state[k] for k in (_S_DX, _S_DY, _S_DZ))
+    thr = [state[k] for k in (_S_TR, _S_TG, _S_TB)]
+    rad = [state[k] for k in (_S_RR, _S_RG, _S_RB)]
+    alive = state[_S_ALIVE] > 0.0
+    pix = jax.lax.bitcast_convert_type(state[_S_PIX], jnp.uint32)
+
+    hmask = hitp[_H_MASK] > 0.0
+    t = hitp[_H_T]
+    nx, ny, nz = (hitp[k] for k in (_H_NX, _H_NY, _H_NZ))
+    mat = hitp[_H_MAT]
 
     hit_mask = hmask & alive
     miss_mask = alive & jnp.logical_not(hmask)
@@ -126,7 +147,7 @@ def _shade_packet(sample_key, bounce, state_ref, hit_ref, mtab_ref, out_ref,
     def mrow(row):
         v = jnp.zeros_like(t)
         for m in range(num_materials):
-            v = jnp.where(mat == float(m), mtab_ref[row, m], v)
+            v = jnp.where(mat == float(m), mread(row, m), v)
         return v
 
     bc = [mrow(_M_AR), mrow(_M_AG), mrow(_M_AB)]
@@ -198,7 +219,7 @@ def _shade_packet(sample_key, bounce, state_ref, hit_ref, mtab_ref, out_ref,
              pz + RAY_OFFSET * ndir[2])
 
     # ---- emission + throughput (integrator.py bounce_step) ---------------
-    sky = [mtab_ref[_M_ER, 0], mtab_ref[_M_EG, 0], mtab_ref[_M_EB, 0]]
+    sky = [mread(_M_ER, 0), mread(_M_EG, 0), mread(_M_EB, 0)]
     for c in range(3):
         e_c = jnp.where(hit_mask, emis[c], 0.0) + jnp.where(
             miss_mask, sky[c], 0.0)
@@ -217,16 +238,17 @@ def _shade_packet(sample_key, bounce, state_ref, hit_ref, mtab_ref, out_ref,
             thr[c] = jnp.where(keep, thr[c] / p_den, thr[c])
         new_alive = keep
 
-    out_ref[pkt, _S_OX] = jnp.where(hit_mask, norig[0], ox)
-    out_ref[pkt, _S_OY] = jnp.where(hit_mask, norig[1], oy)
-    out_ref[pkt, _S_OZ] = jnp.where(hit_mask, norig[2], oz)
-    out_ref[pkt, _S_DX] = jnp.where(hit_mask, ndir[0], dx)
-    out_ref[pkt, _S_DY] = jnp.where(hit_mask, ndir[1], dy)
-    out_ref[pkt, _S_DZ] = jnp.where(hit_mask, ndir[2], dz)
-    for c in range(3):
-        out_ref[pkt, _S_TR + c] = thr[c]
-        out_ref[pkt, _S_RR + c] = rad[c]
-    out_ref[pkt, _S_ALIVE] = new_alive.astype(jnp.float32)
+    return (
+        jnp.where(hit_mask, norig[0], ox),
+        jnp.where(hit_mask, norig[1], oy),
+        jnp.where(hit_mask, norig[2], oz),
+        jnp.where(hit_mask, ndir[0], dx),
+        jnp.where(hit_mask, ndir[1], dy),
+        jnp.where(hit_mask, ndir[2], dz),
+        thr[0], thr[1], thr[2],
+        rad[0], rad[1], rad[2],
+        new_alive.astype(jnp.float32),
+    )
 
 
 def build_material_table(materials) -> jnp.ndarray:

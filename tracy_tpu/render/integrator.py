@@ -126,6 +126,10 @@ def trace_paths(
     # -> next (o, d, thr, rad, alive); bit-identical to the jnp math below.
     # Requires a RICH intersector. Installed by the Renderer on TPU for
     # untextured beauty renders.
+    bounce_fn=None,  # optional FUSED bounce megakernel (intersect + shade
+    # in one kernel, ops/pallas_packet.pallas_trace_bounce, possibly
+    # compaction-wrapped): (o, d, thr, rad, alive, pix, skey, bounce) ->
+    # next (o, d, thr, rad, alive). Supersedes intersect_fn + shade_fn.
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Trace N paths; returns (radiance [N, 3], ray_count scalar)."""
     n = origin.shape[0]
@@ -145,6 +149,13 @@ def trace_paths(
 
     def bounce_step(state: PathState, bounce) -> Tuple[PathState, None]:
         ray_count = state.ray_count + jnp.sum(state.alive, dtype=jnp.int32)
+
+        if bounce_fn is not None:
+            o2, d2, thr2, rad2, alive2 = bounce_fn(
+                state.origin, state.direction, state.throughput,
+                state.radiance, state.alive, pixel_idx, sample_key, bounce,
+            )
+            return PathState(o2, d2, thr2, rad2, alive2, ray_count), None
 
         res = intersect_fn(state.origin, state.direction, state.alive)
         if shade_fn is not None:

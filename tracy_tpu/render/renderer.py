@@ -52,6 +52,7 @@ def sample_radiance_rows(
     frame: jnp.ndarray,
     intersect_fn=None,
     shade_fn=None,  # optional on-core shading stage (see trace_paths)
+    bounce_fn=None,  # optional fused bounce megakernel (see trace_paths)
     row_offset=0,  # traced or static: first image row this shard renders
     num_rows: Optional[int] = None,  # static: rows rendered here
     spp_offset=0,  # traced or static: first sample id this shard renders
@@ -139,7 +140,7 @@ def sample_radiance_rows(
             def run(o, d, pix, act):
                 return trace_paths(scene, o, d, pix, sample_key, cfg,
                                    intersect_fn, active0=act,
-                                   shade_fn=shade_fn)
+                                   shade_fn=shade_fn, bounce_fn=bounce_fn)
 
             n = origin.shape[0]
             chunk = cfg.ray_chunk
@@ -187,19 +188,20 @@ def sample_radiance(
     frame: jnp.ndarray,
     intersect_fn=None,
     shade_fn=None,
+    bounce_fn=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One frame of spp jittered samples -> (mean radiance [H,W,3], rays [])."""
     return sample_radiance_rows(scene, cfg, frame, intersect_fn,
-                                shade_fn=shade_fn)
+                                shade_fn=shade_fn, bounce_fn=bounce_fn)
 
 
 def render_step(
     scene: SceneArrays, state: RenderState, cfg: RenderConfig,
-    intersect_fn=None, shade_fn=None
+    intersect_fn=None, shade_fn=None, bounce_fn=None
 ) -> Tuple[RenderState, jnp.ndarray]:
     """One progressive frame: sample, accumulate, bump the frame counter."""
     radiance, rays = sample_radiance(scene, cfg, state.frame, intersect_fn,
-                                     shade_fn=shade_fn)
+                                     shade_fn=shade_fn, bounce_fn=bounce_fn)
     if cfg.accumulate:
         accum = film.accumulate(state.accum, radiance, state.frame.astype(radiance.dtype))
     else:
@@ -222,6 +224,7 @@ class Renderer:
         self._bind = None
         self._accel_data = ()
         self._shade_fn = None
+        self._bounce_bind = None
         if intersector_factory is not None:
             # Back-compat: factory(scene) -> IntersectFn (closure-based).
             self._bind = lambda sc, acc: intersector_factory(sc)
@@ -403,6 +406,7 @@ class Renderer:
             self._bind = bind_compact
 
         self._maybe_bind_shade(scene)
+        self._maybe_bind_bounce(scene)
 
     def _maybe_bind_shade(self, scene: SceneArrays):
         """On-core shading stage (ops/pallas_shade.py) when eligible:
@@ -439,9 +443,62 @@ class Renderer:
 
         self._shade_fn = shade_fn
 
+    def _maybe_bind_bounce(self, scene: SceneArrays):
+        """FUSED bounce megakernel (intersect + shade in one kernel) when
+        eligible: everything _maybe_bind_shade requires PLUS the Pallas
+        intersect path actually selected, rb_mode='fused', untextured
+        tables. Bit-identical to the two-stage path (tested), so
+        eligibility only affects speed."""
+        cfg = self.cfg
+        if not (cfg.use_pallas_bounce and cfg.use_pallas
+                and cfg.aov == "beauty" and cfg.accel == "packet"
+                and cfg.pallas_rb_mode == "fused"
+                and jax.default_backend() not in ("cpu",)):
+            return
+        from tracy_tpu.ops.pallas_packet import PallasSceneTables
+
+        if not isinstance(self._accel_data, PallasSceneTables):
+            return  # XLA packet fallback selected — no kernel to fuse into
+        if self._accel_data.has_uv or self._accel_data.with_tangent:
+            return
+        from tracy_tpu.render.material import scene_has_textures
+
+        if scene_has_textures(scene):
+            return
+        from tracy_tpu.ops.pallas_shade import build_material_table
+
+        mtab = build_material_table(scene.materials)
+        if mtab is None:
+            return
+        from tracy_tpu.ops.pallas_packet import pallas_trace_bounce
+
+        num_m = int(np.asarray(scene.materials.albedo).shape[0])
+        seed, rr = cfg.seed, cfg.russian_roulette
+        depth = cfg.traversal_stack_depth
+        pps = cfg.pallas_packets_per_step
+        pipe = cfg.pallas_leaf_pipeline
+
+        def bounce_bind(acc):
+            def bounce(o, d, thr, rad, alive, pix, skey, bounce_i):
+                return pallas_trace_bounce(
+                    o, d, thr, rad, alive, pix, acc, mtab, skey, bounce_i,
+                    num_materials=num_m, seed=seed, russian_roulette=rr,
+                    stack_depth=depth, packets_per_step=pps,
+                    leaf_pipeline=pipe,
+                )
+
+            if cfg.wave_compact_group > 0:
+                from tracy_tpu.accel.reorder import compact_bounce
+
+                return compact_bounce(bounce, cfg.wave_compact_group)
+            return bounce
+
+        self._bounce_bind = bounce_bind
+
     def _step_impl(self, scene: SceneArrays, state: RenderState, accel):
+        bf = self._bounce_bind(accel) if self._bounce_bind else None
         return render_step(scene, state, self.cfg, self._bind(scene, accel),
-                           shade_fn=self._shade_fn)
+                           shade_fn=self._shade_fn, bounce_fn=bf)
 
     def _steps_impl(self, scene: SceneArrays, state: RenderState, accel,
                     num_steps: int):
@@ -449,11 +506,12 @@ class Renderer:
         per-dispatch overhead (~30ms through the axon tunnel, measured)
         amortizes across frames."""
         isect = self._bind(scene, accel)
+        bf = self._bounce_bind(accel) if self._bounce_bind else None
 
         def body(_, carry):
             st, rays = carry
             st2, r = render_step(scene, st, self.cfg, isect,
-                                 shade_fn=self._shade_fn)
+                                 shade_fn=self._shade_fn, bounce_fn=bf)
             return st2, rays + r
 
         return jax.lax.fori_loop(
