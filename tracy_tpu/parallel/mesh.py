@@ -162,7 +162,7 @@ def make_sharded_train_step(
             cfg,
             frame,
             intersect_fn,
-            shade_fn=shade_fn,
+            # no shade_fn: the training path must stay differentiable
             row_offset=di * rows_per,
             num_rows=rows_per,
             spp_offset=si * spp_per,
