@@ -223,11 +223,12 @@ def run_frames(scene, cfg, Renderer, init_state):
     compact = int(os.environ.get("PROBE_FRAME_COMPACT",
                                  cfg.wave_compact_group))
     shade = os.environ.get("PROBE_FRAME_SHADE", "1") == "1"
+    bounce = os.environ.get("PROBE_FRAME_BOUNCE", "0") == "1"
     print("[probe] === D: full-frame step_many ===", flush=True)
     for pps in (2, 8):
         cfg2 = cfg.replace(pallas_packets_per_step=pps,
                            pallas_rb_mode=rbm, wave_compact_group=compact,
-                           use_pallas_shade=shade)
+                           use_pallas_shade=shade, use_pallas_bounce=bounce)
         r = Renderer(cfg2)
         st = init_state(cfg2)
         t0 = time.perf_counter()
