@@ -258,3 +258,73 @@ def test_fused_bounce_megakernel(compact):
     assert int(rays_x) == int(rays_b)
     np.testing.assert_array_equal(np.asarray(st_x.accum),
                                   np.asarray(st_b.accum))
+
+
+@pytest.mark.parametrize("rr", [True, False])
+def test_shade_kernel_translucent_btdf(rr):
+    """BTDF branch coverage: bunny's jade material (translucent=1, ior=1.5)
+    exercises refraction, inside/outside eta swap, and the TIR clamp —
+    must stay bit-identical to the XLA bounce."""
+    b = load_scene("/root/reference/data/scenes/bunny.scn",
+                   data_root="/root/reference")
+    scene = b.build()
+    cfg = RenderConfig(width=32, height=24, spp=1, accel="none",
+                       russian_roulette=rr)
+    n = 2048
+    rng = np.random.default_rng(23)
+    o = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    pix = jnp.asarray(rng.integers(0, 1 << 20, n).astype(np.uint32))
+    skey = jnp.uint32(9)
+    hit_mask = jnp.asarray(rng.uniform(size=n) < 0.8)
+    t = jnp.where(hit_mask,
+                  jnp.asarray(rng.uniform(0.5, 20.0, n).astype(np.float32)),
+                  FLT_MAX)
+    normal = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    normal = normal / jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    # Force the translucent material on every lane; random normals give a
+    # mix of inside (VdotN > 0) and outside hits, including TIR angles.
+    mat = jnp.full((n,), 3, jnp.int32)
+
+    rad_x, _ = jax.jit(
+        lambda o, d: _run_xla_bounce(scene, cfg, o, d, pix, skey,
+                                     hit_mask, t, normal, mat)
+    )(o, d)
+
+    mtab = build_material_table(scene.materials)
+    num_m = int(np.asarray(scene.materials.albedo).shape[0])
+    thr0 = jnp.ones((n, 3), jnp.float32)
+    rad0 = jnp.zeros((n, 3), jnp.float32)
+    alive0 = jnp.ones((n,), bool)
+    o2, d2, _, rad_k, _ = shade_packets(
+        o, d, thr0, rad0, alive0, pix, hit_mask, t, normal, mat, mtab,
+        skey, jnp.int32(0), num_materials=num_m, seed=cfg.seed,
+        russian_roulette=rr, interpret=True)
+    np.testing.assert_array_equal(np.asarray(rad_x), np.asarray(rad_k))
+
+    # Scattered DIRECTIONS through the BTDF (refract / eta swap / TIR):
+    # compare against the XLA scatter math directly on the hit lanes.
+    from tracy_tpu.core.rng import RngSpec
+    from tracy_tpu.render import material as mtl
+    from tracy_tpu.render.integrator import (
+        DRAW_SPECULAR, DRAW_SPHERE_PHI, DRAW_SPHERE_Z,
+    )
+
+    rngs = RngSpec(cfg.rng, cfg.seed)
+    params = mtl.gather_surface_params(
+        scene, mat, jnp.zeros((n, 2)), normal, jnp.zeros((n, 3)))
+    res = mtl.scatter(
+        d, o + t[:, None] * d, params,
+        rngs.uniform(pix, skey, jnp.int32(0), DRAW_SPHERE_Z),
+        rngs.uniform(pix, skey, jnp.int32(0), DRAW_SPHERE_PHI),
+        rngs.uniform(pix, skey, jnp.int32(0), DRAW_SPECULAR),
+    )
+    hm = np.asarray(hit_mask)
+    # ~1 ulp: the [N,3] XLA math and the [8,128]-plane kernel math may
+    # compile with different fma association (the full-render tests assert
+    # BIT-identity for the paths as actually composed in one program).
+    np.testing.assert_allclose(np.asarray(res.direction)[hm],
+                               np.asarray(d2)[hm], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.origin)[hm],
+                               np.asarray(o2)[hm], atol=1e-4)
