@@ -74,9 +74,19 @@ struct Task {
 
 extern "C" int tracy_build_bvh(const float* tri_min_f, const float* tri_max_f,
                                int t_count, int leaf_size, int max_depth,
+                               int cost_mode,  // 0 = per-triangle SAH,
+                               // 1 = per-chunk (ceil(count/leaf_size)):
+                               // the Pallas kernel MT-tests whole chunks
+                               // at count-independent cost
                                float* node_bounds, int* node_meta,
                                int* tri_order, int* out_max_depth) {
   if (t_count <= 0 || leaf_size < 1) return -1;
+  // Must match the numpy builder's float64 arithmetic bit-for-bit
+  // (np.ceil of an exact integer ratio == integer ceil).
+  const auto icost = [&](int n) {
+    return cost_mode ? static_cast<double>((n + leaf_size - 1) / leaf_size)
+                     : static_cast<double>(n);
+  };
 
   const Vec3* tri_min = reinterpret_cast<const Vec3*>(tri_min_f);
   const Vec3* tri_max = reinterpret_cast<const Vec3*>(tri_max_f);
@@ -128,7 +138,7 @@ extern "C" int tracy_build_bvh(const float* tri_min_f, const float* tri_max_f,
     const double parent_area = std::max(bounds.area(), 1e-30);
 
     int best_axis = -1, best_bin = -1;
-    double best_cost = static_cast<double>(kIntersectCost) * count;
+    double best_cost = static_cast<double>(kIntersectCost) * icost(count);
 
     for (int axis = 0; axis < 3; ++axis) {
       if (cext[axis] <= 1e-12f) continue;
@@ -166,7 +176,8 @@ extern "C" int tracy_build_bvh(const float* tri_min_f, const float* tri_max_f,
         if (lc == 0 || rcount[b + 1] == 0) continue;
         const double cost = kTraversalCost +
                             kIntersectCost *
-                                (lacc.area() * lc + rarea[b + 1] * rcount[b + 1]) /
+                                (lacc.area() * icost(lc) +
+                                 rarea[b + 1] * icost(rcount[b + 1])) /
                                 parent_area;
 #ifdef TRACY_BVH_DEBUG
         std::fprintf(stderr, "n=%d axis=%d bin=%d lc=%d cost=%.17g\n",

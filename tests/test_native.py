@@ -17,14 +17,17 @@ def _random_tris(n, seed=0, spread=5.0):
 
 @needs_native
 @pytest.mark.parametrize("n,seed", [(16, 0), (1000, 1), (20000, 2)])
-def test_native_bvh_matches_numpy(n, seed):
+@pytest.mark.parametrize("cost_mode,leaf_size", [("tris", 8),
+                                                 ("chunks", 128)])
+def test_native_bvh_matches_numpy(n, seed, cost_mode, leaf_size):
     from tracy_tpu.accel.bvh_build import build_bvh
     from tracy_tpu.accel.native import build_bvh_native
 
     tris = _random_tris(n, seed)
     tmin, tmax = tris.min(axis=1), tris.max(axis=1)
-    ref = build_bvh(tmin, tmax, leaf_size=8)
-    nat = build_bvh_native(tmin, tmax, leaf_size=8)
+    ref = build_bvh(tmin, tmax, leaf_size=leaf_size, cost_mode=cost_mode)
+    nat = build_bvh_native(tmin, tmax, leaf_size=leaf_size,
+                           cost_mode=cost_mode)
     # Identical structure: the algorithms are written to match exactly.
     assert nat.num_nodes == ref.num_nodes
     np.testing.assert_array_equal(nat.node_meta, ref.node_meta)

@@ -66,16 +66,19 @@ def build_scene_bvh(scene, leaf_size: int = 8, max_depth: int = 60) -> Tuple[Hos
     return host, device_bvh(host, leaf_size)
 
 
-def _build_auto(tri_min, tri_max, leaf_size, max_depth) -> HostBVH:
+def _build_auto(tri_min, tri_max, leaf_size, max_depth,
+                cost_mode: str = "tris") -> HostBVH:
     try:
         from tracy_tpu.accel.native import build_bvh_native
 
-        return build_bvh_native(tri_min, tri_max, leaf_size, max_depth)
+        return build_bvh_native(tri_min, tri_max, leaf_size, max_depth,
+                                cost_mode=cost_mode)
     except Exception as e:
         from tracy_tpu.utils.log import warn
 
         warn(f"native BVH builder unavailable ({e!r}); using numpy builder")
-        return build_bvh(tri_min, tri_max, leaf_size, max_depth)
+        return build_bvh(tri_min, tri_max, leaf_size, max_depth,
+                         cost_mode=cost_mode)
 
 
 class _TraversalState(NamedTuple):

@@ -45,6 +45,11 @@ def build_bvh(
     tri_max: np.ndarray,  # [T, 3]
     leaf_size: int = 8,
     max_depth: int = 60,
+    cost_mode: str = "tris",  # 'tris' = classic SAH (per-triangle
+    # intersection cost); 'chunks' = per-LEAF-VISIT cost: the Pallas
+    # kernel MT-tests a whole 128-slot chunk at count-independent cost,
+    # so the objective minimizes expected CHUNK visits
+    # (ceil(count/leaf_size) replaces count in the split cost).
 ) -> HostBVH:
     t_count = len(tri_min)
     assert t_count > 0
@@ -74,7 +79,8 @@ def build_bvh(
             nm[node_id] = np.array([start, count, -1], np.int32)
             continue
 
-        split = _find_split(centroids[idx], tri_min[idx], tri_max[idx], count)
+        split = _find_split(centroids[idx], tri_min[idx], tri_max[idx],
+                            count, leaf_size, cost_mode)
         if split is None:
             # Degenerate centroid spread: median split on largest axis.
             axis = int(np.argmax(bmax - bmin))
@@ -114,13 +120,20 @@ def _surface_area(bmin, bmax):
     return d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0]
 
 
-def _find_split(cent, tmin, tmax, count):
+def _find_split(cent, tmin, tmax, count, leaf_size=8, cost_mode="tris"):
     """Binned SAH over all 3 axes; returns (axis, go_left mask) or None."""
     cmin = cent.min(axis=0)
     cmax = cent.max(axis=0)
     extent = cmax - cmin
     best = None
-    best_cost = INTERSECT_COST * count  # cost of making this a leaf
+
+    if cost_mode == "chunks":
+        def isect_cost(n):
+            return np.ceil(n / leaf_size)
+    else:
+        def isect_cost(n):
+            return n
+    best_cost = INTERSECT_COST * isect_cost(count)  # making this a leaf
 
     for axis in range(3):
         if extent[axis] <= 1e-12:
@@ -150,7 +163,7 @@ def _find_split(cent, tmin, tmax, count):
         valid = (lcount[:-1] > 0) & (rcount[:-1] > 0)
         parent_area = max(_surface_area(tmin.min(axis=0), tmax.max(axis=0)), 1e-30)
         cost = TRAVERSAL_COST + INTERSECT_COST * (
-            la * lcount[:-1] + ra * rcount[:-1]
+            la * isect_cost(lcount[:-1]) + ra * isect_cost(rcount[:-1])
         ) / parent_area
         cost = np.where(valid, cost, np.inf)
         b = int(np.argmin(cost))

@@ -11,7 +11,8 @@ from tracy_tpu.utils.native import get_native_lib
 
 
 def build_bvh_native(
-    tri_min: np.ndarray, tri_max: np.ndarray, leaf_size: int = 8, max_depth: int = 60
+    tri_min: np.ndarray, tri_max: np.ndarray, leaf_size: int = 8,
+    max_depth: int = 60, cost_mode: str = "tris"
 ) -> HostBVH:
     lib = get_native_lib()
     if lib is None:
@@ -28,7 +29,7 @@ def build_bvh_native(
     n = lib.tracy_build_bvh(
         tri_min.ctypes.data_as(ctypes.c_void_p),
         tri_max.ctypes.data_as(ctypes.c_void_p),
-        t, leaf_size, max_depth,
+        t, leaf_size, max_depth, 1 if cost_mode == "chunks" else 0,
         node_bounds.ctypes.data_as(ctypes.c_void_p),
         node_meta.ctypes.data_as(ctypes.c_void_p),
         tri_order.ctypes.data_as(ctypes.c_void_p),

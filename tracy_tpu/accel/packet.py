@@ -368,8 +368,11 @@ def intersect_packet(
     return hit, attrs
 
 
-def build_packet_bvh(scene, leaf_size: int = 64, max_depth: int = 60):
-    """Host-side build for a SceneArrays; returns (PackedBVH, HostBVH)."""
+def build_packet_bvh(scene, leaf_size: int = 64, max_depth: int = 60,
+                     cost_mode: str = "tris"):
+    """Host-side build for a SceneArrays; returns (PackedBVH, HostBVH).
+    cost_mode='chunks' optimizes for the Pallas kernel's count-independent
+    leaf-visit cost (dragon wave-2: -8% leaf visits, -12% inner)."""
     import numpy as np
 
     from tracy_tpu.accel.bvh import _build_auto
@@ -379,7 +382,8 @@ def build_packet_bvh(scene, leaf_size: int = 64, max_depth: int = 60):
     v0, v1, v2 = pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
     tri_min = np.minimum(np.minimum(v0, v1), v2)
     tri_max = np.maximum(np.maximum(v0, v1), v2)
-    host = _build_auto(tri_min, tri_max, leaf_size, max_depth)
+    host = _build_auto(tri_min, tri_max, leaf_size, max_depth,
+                       cost_mode=cost_mode)
     return pack_bvh(host, leaf_size), host
 
 

@@ -303,6 +303,7 @@ class Renderer:
                 bvh, host = build_packet_bvh(
                     scene, leaf_size=self.cfg.pallas_leaf_size,
                     max_depth=max(self.cfg.traversal_stack_depth - 4, 8),
+                    cost_mode="chunks",
                 )
                 cand = build_tables(
                     scene, bvh, with_tangent,
