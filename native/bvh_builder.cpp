@@ -27,7 +27,7 @@
 
 namespace {
 
-constexpr int kNumBins = 16;
+constexpr int kNumBins = 64;  // keep equal to bvh_build.NUM_BINS
 constexpr float kTraversalCost = 1.0f;
 constexpr float kIntersectCost = 2.0f;
 
