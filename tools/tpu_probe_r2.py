@@ -26,6 +26,7 @@ RBP = os.environ.get("PROBE_RBP", "0") == "1"
 RBG = os.environ.get("PROBE_RBG", "take")
 RBM = os.environ.get("PROBE_RBM", "minloop")
 LEAF = int(os.environ.get("PROBE_LEAF", 64))
+COST = os.environ.get("PROBE_COST", "tris")  # 'chunks' = the bench's build
 PPS_LIST = tuple(int(x) for x in os.environ.get("PROBE_PPS", "4,8,16,32").split(","))
 SKIP_C = os.environ.get("PROBE_SKIP_C", "0") == "1"
 SKIP_D = os.environ.get("PROBE_SKIP_D", "0") == "1"
@@ -59,7 +60,7 @@ def main() -> int:
     b.width, b.height = w, h
     scene = b.build()
     cfg = RenderConfig(width=w, height=h, spp=1, accel="packet")
-    bvh, _ = build_packet_bvh(scene, leaf_size=LEAF)
+    bvh, _ = build_packet_bvh(scene, leaf_size=LEAF, cost_mode=COST)
     tables = build_tables(scene, bvh, with_tangent=False,
                           pack_pairs=(os.environ.get("PROBE_RBG", "take")
                                       != "onehot"))
