@@ -215,14 +215,27 @@ def make_training_intersector(scene: SceneArrays, cfg: RenderConfig,
             make_pallas_intersector, nondiff_intersector,
         )
 
-        bvh, _ = build_packet_bvh(scene, leaf_size=cfg.pallas_leaf_size)
+        bvh, _ = build_packet_bvh(scene, leaf_size=cfg.pallas_leaf_size,
+                                  cost_mode="chunks")
         isect = make_pallas_intersector(
             scene, bvh, with_tangent=True,
             stack_depth=cfg.traversal_stack_depth, interpret=interpret,
             rb_mode=cfg.pallas_rb_mode,
         )
         if isect is not None:
-            return nondiff_intersector(isect)
+            wrapped = nondiff_intersector(isect)
+            if cfg.wave_compact_group > 0:
+                # Per-wave live-ray compaction composes with training: the
+                # butterfly routing is pure selects (VJP-exact), and the
+                # material/texture gradients flow through the routed
+                # DISCRETE outputs exactly as through the unrouted ones.
+                # (The geometry path keeps its own uncompacted base — its
+                # winner-slot side output isn't routed.)
+                from tracy_tpu.accel.reorder import compact_intersector
+
+                wrapped = compact_intersector(
+                    wrapped, cfg.wave_compact_group, route_tangent=True)
+            return wrapped
 
     bvh, _ = build_packet_bvh(scene, leaf_size=cfg.packet_leaf_size)
     return make_packet_intersector(scene, bvh, with_tangent=True,
