@@ -46,7 +46,9 @@ def main() -> int:
     b.width, b.height = w, h
     scene = b.build()
     cfg = RenderConfig(width=w, height=h, spp=1, max_bounces=5,
-                       tonemap="none", accel="packet")
+                       tonemap="none", accel="packet",
+                       wave_compact_group=int(
+                           os.environ.get("GRAD_COMPACT", 262144)))
 
     frame = jnp.asarray(0, jnp.int32)
     fwd_isect = make_training_intersector(scene, cfg,
