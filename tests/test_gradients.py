@@ -325,3 +325,35 @@ def test_material_grads_with_compaction():
         outs[grp] = (float(loss), np.asarray(grads.albedo))
     assert outs[0][0] == outs[1024][0]
     np.testing.assert_array_equal(outs[0][1], outs[1024][1])
+
+
+def test_geometry_grads_with_compaction():
+    """Slot-routing compaction around the geometry-training base must not
+    change the loss or the vertex gradients."""
+    import jax
+    import numpy as np
+
+    from tracy_tpu.config import RenderConfig
+    from tracy_tpu.diff import extract_params
+    from tracy_tpu.diff.gradients import (
+        make_training_intersector, render_loss,
+    )
+    from tracy_tpu.scene.scn_parser import default_scene
+
+    scene = default_scene(32, 32).build()
+    target = jax.numpy.zeros((32, 32, 3))
+    frame = jax.numpy.asarray(1, jax.numpy.int32)
+    outs = {}
+    for grp in (0, 1024):
+        cfg = RenderConfig(width=32, height=32, spp=1, accel="packet",
+                           max_bounces=2, tonemap="none",
+                           wave_compact_group=grp)
+        isect = make_training_intersector(scene, cfg, interpret=True,
+                                          needs_geometry_grads=True)
+        params = extract_params(scene)
+        loss, grads = jax.value_and_grad(
+            lambda p: render_loss(p, scene, target, cfg, frame, isect)
+        )(params)
+        outs[grp] = (float(loss), np.asarray(grads.vertex_pos))
+    assert outs[0][0] == outs[1024][0]
+    np.testing.assert_array_equal(outs[0][1], outs[1024][1])

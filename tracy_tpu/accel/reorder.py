@@ -270,3 +270,74 @@ def compact_bounce(bounce_fn, group: int = 4096):
         )
 
     return wrapped
+
+
+def compact_intersector_slot(intersect_fn, group: int = 4096,
+                             route_tangent: bool = True):
+    """compact_intersector for SLOT-returning rich intersectors
+    ((o, d, act) -> (Hit, PacketAttrs, slot [N] i32)): the winner-slot
+    plane rides the route as raw i32 bits (selects move bits verbatim).
+    Used by the geometry-training path (diff/gradients.py)."""
+    assert group & (group - 1) == 0, "group must be a power of two"
+
+    def wrapped(origin, direction, active):
+        from tracy_tpu.accel.packet import PacketAttrs
+        from tracy_tpu.render.intersect import FLT_MAX, Hit
+
+        n = origin.shape[0]
+        npad = -(-n // group) * group
+        if npad != n:
+            p = npad - n
+            origin = jnp.pad(origin, ((0, p), (0, 0)))
+            direction = jnp.pad(direction, ((0, p), (0, 0)),
+                                constant_values=1.0)
+            active = jnp.pad(active, (0, p))
+
+        o_c, d_c, a_c, dist_c, valid_c = compact_rays(
+            origin, direction, active, group
+        )
+        hit, attrs, slot = intersect_fn(o_c, d_c, a_c)
+
+        slot_bits = jax.lax.bitcast_convert_type(
+            slot.astype(jnp.int32), jnp.float32)
+        planes = [
+            hit.t[:, None],
+            hit.uv,
+            hit.mask.astype(jnp.float32)[:, None],
+            attrs.normal,
+            attrs.uv,
+            attrs.material.astype(jnp.float32)[:, None],
+            slot_bits[:, None],
+        ]
+        if route_tangent:
+            planes.append(attrs.tangent)
+        r = scatter_results(
+            jnp.concatenate(planes, axis=1), dist_c, valid_c, group
+        )
+        live = active[:n]
+        mask = (r[:n, 3] > 0.5) & live
+        hit_out = Hit(
+            t=jnp.where(mask, r[:n, 0], FLT_MAX),
+            tri=jnp.zeros((n,), jnp.int32),
+            uv=jnp.where(live[:, None], r[:n, 1:3], 0.0),
+            mask=mask,
+        )
+        attrs_out = PacketAttrs(
+            normal=jnp.where(live[:, None], r[:n, 4:7], 0.0),
+            tangent=(
+                jnp.where(live[:, None], r[:n, 11:14], 0.0)
+                if route_tangent else jnp.zeros((n, 3), r.dtype)
+            ),
+            uv=jnp.where(live[:, None], r[:n, 7:9], 0.0),
+            material=jnp.where(
+                live, jnp.round(r[:n, 9]), 0.0
+            ).astype(jnp.int32),
+        )
+        slot_out = jnp.where(
+            mask,
+            jax.lax.bitcast_convert_type(r[:n, 10], jnp.int32),
+            -1,
+        )
+        return hit_out, attrs_out, slot_out
+
+    return wrapped

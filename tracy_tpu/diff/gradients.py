@@ -200,8 +200,16 @@ def make_training_intersector(scene: SceneArrays, cfg: RenderConfig,
                 return_slot=True, rb_mode=cfg.pallas_rb_mode,
             )
             if base is not None:
+                inner = base
+                if cfg.wave_compact_group > 0:
+                    from tracy_tpu.accel.reorder import (
+                        compact_intersector_slot,
+                    )
+
+                    inner = compact_intersector_slot(
+                        base, cfg.wave_compact_group, route_tangent=True)
                 return GeometryDiffIntersector(
-                    base, base.tables.slot_tri, with_tangent=True
+                    inner, base.tables.slot_tri, with_tangent=True
                 )
         bvh, _ = build_packet_bvh(scene, leaf_size=cfg.packet_leaf_size)
         base = make_packet_intersector(
