@@ -21,7 +21,16 @@ kernel runs the same algorithm on-core:
   WIDE leaves (config.pallas_leaf_size=128: fewer visits, same visit cost);
 * outputs: t, barycentric u/v, hit mask, and interpolated normal/uv/
   material (+tangent when normal maps are present), as [packets, C, 8, 128]
-  planes.
+  planes;
+* winner-attribute readback comes in six measured structures (`rb_mode`:
+  minloop/list/arena/vlist/fused/mt — see config.py); 'fused' (per-visit
+  vector resolve, no phase 2) is the production default;
+* `leaf_pipeline` double-buffers the leaf chunk DMA (start at discovery,
+  MT at the next leaf) so the copy overlaps inner-node traversal;
+* `pallas_trace_bounce` fuses the WHOLE bounce (this traversal + the
+  shading step of ops/pallas_shade.py, incl. in-kernel counter RNG) into
+  one megakernel for untextured scenes — the TPU-native analogue of the
+  reference CUDA megakernel (cuda_trace.cu:73-135).
 
 The kernel has no VJP of its own. `nondiff_intersector` wraps it in a
 zero-gradient custom_vjp that is exact for material/texture/emissive
