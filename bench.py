@@ -125,6 +125,7 @@ def main():
         pallas_leaf_pipeline=os.environ.get("TRACY_BENCH_PIPE", "0") == "1",
         use_pallas_shade=os.environ.get("TRACY_BENCH_SHADE", "1") == "1",
         use_pallas_bounce=os.environ.get("TRACY_BENCH_BOUNCE", "0") == "1",
+        pallas_bvh_width=int(os.environ.get("TRACY_BENCH_BVHW", 2)),
     )
     r = Renderer(cfg)
     state = init_state(cfg)

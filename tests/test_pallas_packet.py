@@ -423,3 +423,33 @@ def test_pallas_leaf_pipeline():
     np.testing.assert_array_equal(np.asarray(a0.uv), np.asarray(ap.uv))
     np.testing.assert_array_equal(np.asarray(a0.material),
                                   np.asarray(ap.material))
+
+
+@pytest.mark.parametrize("mode", ["fused", "minloop"])
+def test_pallas_bvh_width4(mode):
+    """4-wide traversal (collapsed binary tree, shared leaf path) must find
+    the exact same winners as the binary traversal: same closest-hit
+    minima, only the visit ORDER differs."""
+    b = default_scene(32, 24)
+    tex = b.add_texture(np.full((4, 4, 4), 0.5, np.float32))
+    b.set_material_texture(1, 0, tex)
+    scene = b.build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    i2 = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_mode=mode)
+    i4 = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_mode=mode, width=4)
+    assert i4.tables.width == 4
+    o, d = _rays_for(scene, 3072, seed=21)
+    act = jnp.ones(3072, bool).at[1024:2048].set(False)
+    h2, a2 = i2(o, d, act)
+    h4, a4 = i4(o, d, act)
+    np.testing.assert_array_equal(np.asarray(h2.mask), np.asarray(h4.mask))
+    np.testing.assert_array_equal(np.asarray(h2.t), np.asarray(h4.t))
+    m = np.asarray(h2.mask)
+    # attrs can differ only on exact-t ties across chunks (visit order);
+    # none occur in this scene.
+    np.testing.assert_array_equal(np.asarray(a2.normal)[m],
+                                  np.asarray(a4.normal)[m])
+    np.testing.assert_array_equal(np.asarray(a2.material)[m],
+                                  np.asarray(a4.material)[m])

@@ -138,6 +138,12 @@ class RenderConfig:
     # big values inflate compile time linearly.
     pallas_packets_per_step: int = 2
 
+    # Pallas traversal branching factor: 4 collapses the binary BVH to
+    # 4-wide nodes (halves stack pops on the dragon: 316 -> 160 inner
+    # visits/packet, identical leaf visits) at ~1.7x the slab math per
+    # pop. Results identical (same closest-hit minima).
+    pallas_bvh_width: int = 2
+
     # Software-pipelined leaf processing in the Pallas packet kernel:
     # a leaf's chunk DMA is started at DISCOVERY and its MT test runs when
     # the NEXT leaf is found (or at traversal end), overlapping the DMA
@@ -200,6 +206,8 @@ class RenderConfig:
                 "pallas_rb_mode must be 'minloop', 'list', 'arena', "
                 f"'vlist', 'fused' or 'mt', got {self.pallas_rb_mode!r}"
             )
+        if self.pallas_bvh_width not in (2, 4):
+            raise ValueError("pallas_bvh_width must be 2 or 4")
         if self.pallas_leaf_pipeline and self.pallas_rb_mode != "fused":
             raise ValueError(
                 "pallas_leaf_pipeline requires pallas_rb_mode='fused'"

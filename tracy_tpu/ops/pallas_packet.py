@@ -128,6 +128,17 @@ class PallasSceneTables:
     # by the winner-recompute differentiable intersector (diff/gradients.py)
     # to map the kernel's winner-slot output back to scene.indices rows.
     slot_tri: jnp.ndarray  # [Tpad] i32
+    # 4-WIDE traversal tables (width=4 only; (1, .) dummies otherwise):
+    # per 4-wide node, 4 child bboxes [N4, 24] f32 (invalid children get
+    # inverted never-hit bounds) and 4 child entries [N4, 8] i32 as
+    # (val, tag) pairs — tag 0: val = 4-wide child id; tag 1: val = the
+    # child LEAF's node id in the (realigned) BINARY node_meta, so the
+    # leaf path is shared verbatim between widths; tag -1: no child.
+    # Collapsing the binary tree to branching factor 4 halves stack pops
+    # on the dragon (316 -> 160 inner visits/packet, wave-2 replay) at
+    # identical leaf visits.
+    node4_bounds: jnp.ndarray = None  # [N4, 24] f32
+    node4_meta: jnp.ndarray = None  # [N4, 8] i32
     # Static layout flags (NOT shape-derived: packed and flat layouts can
     # pad to the same row count).
     has_uv: bool = True
@@ -137,16 +148,21 @@ class PallasSceneTables:
     # which the MXU contraction flushes to zero (a take_along gather is a
     # pure permute and preserves bits).
     packed: bool = True
+    width: int = 2  # traversal branching factor (2 or 4)
 
     def tree_flatten(self):
         return (
-            (self.node_bounds, self.node_meta, self.tab, self.slot_tri),
-            (self.has_uv, self.has_tangent, self.packed),
+            (self.node_bounds, self.node_meta, self.tab, self.slot_tri,
+             self.node4_bounds, self.node4_meta),
+            (self.has_uv, self.has_tangent, self.packed, self.width),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        (nb, nm, tab, slot_tri, n4b, n4m) = children
+        (has_uv, has_tangent, packed, width) = aux
+        return cls(nb, nm, tab, slot_tri, n4b, n4m,
+                   has_uv, has_tangent, packed, width)
 
     @property
     def with_tangent(self) -> bool:
@@ -156,11 +172,64 @@ class PallasSceneTables:
     def vmem_bytes(self) -> int:
         """VMEM-resident bytes: node tables only — the per-triangle tables
         live in HBM and are DMA'd per leaf chunk."""
-        return self.node_bounds.size * 4 + self.node_meta.size * 4
+        n4 = (self.node4_bounds.size + self.node4_meta.size
+              if self.node4_bounds is not None else 0)
+        return (self.node_bounds.size + self.node_meta.size + n4) * 4
+
+
+def _collapse4(nb: np.ndarray, meta: np.ndarray):
+    """Collapse the (realigned) binary BVH to branching factor 4.
+
+    A 4-wide node corresponds to a kept binary inner node; its children
+    are each binary child if a leaf, else that child's two children.
+    Returns (node4_bounds [N4, 24] f32, node4_meta [N4, 8] i32) with
+    (val, tag) child entries (see PallasSceneTables), or None when the
+    root is a leaf (nothing to collapse)."""
+    if meta[0, 1] > 0:
+        return None
+    n4b, n4m = [], []
+    idmap = {}
+    stack = [0]
+    idmap[0] = 0
+    n4b.append(np.zeros(24, np.float32))
+    n4m.append(np.zeros(8, np.int32))
+    while stack:
+        n = stack.pop()
+        me = idmap[n]
+        kids = []
+        for c in (int(meta[n, 0]), int(meta[n, 2])):
+            if meta[c, 1] > 0:
+                kids.append(c)
+            else:
+                kids.append(int(meta[c, 0]))
+                kids.append(int(meta[c, 2]))
+        brow = np.empty(24, np.float32)
+        mrow = np.empty(8, np.int32)
+        for k in range(4):
+            if k < len(kids):
+                b = kids[k]
+                brow[6 * k:6 * k + 6] = nb[b, 0:6]
+                if meta[b, 1] > 0:
+                    mrow[2 * k], mrow[2 * k + 1] = b, 1  # leaf: binary id
+                else:
+                    if b not in idmap:
+                        idmap[b] = len(n4b)
+                        n4b.append(np.zeros(24, np.float32))
+                        n4m.append(np.zeros(8, np.int32))
+                        stack.append(b)
+                    mrow[2 * k], mrow[2 * k + 1] = idmap[b], 0
+            else:
+                # never-hit bounds: lo > hi makes the slab test miss
+                brow[6 * k:6 * k + 3] = BIG
+                brow[6 * k + 3:6 * k + 6] = -BIG
+                mrow[2 * k], mrow[2 * k + 1] = 0, -1
+        n4b[me] = brow
+        n4m[me] = mrow
+    return np.stack(n4b), np.stack(n4m)
 
 
 def build_tables(scene, bvh: PackedBVH, with_tangent: bool,
-                 pack_pairs: bool = True) -> PallasSceneTables:
+                 pack_pairs: bool = True, width: int = 2) -> PallasSceneTables:
     """Host-side packing of slot-ordered scene data into kernel planes.
 
     Leaves are REALIGNED: every leaf gets its own 128-slot chunk (partial
@@ -307,23 +376,36 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool,
     attrs = pad8(attrs)
     tab = np.concatenate([woop, attrs], axis=0)
 
+    node_bounds = np.asarray(bvh.node_bounds, np.float32)
+    n4b = np.zeros((1, 24), np.float32)
+    n4m = np.zeros((1, 8), np.int32)
+    if width == 4:
+        four = _collapse4(node_bounds, meta)
+        if four is None:
+            width = 2  # root is a leaf: nothing to collapse
+        else:
+            n4b, n4m = four
     return PallasSceneTables(
-        node_bounds=jnp.asarray(np.asarray(bvh.node_bounds, np.float32)),
+        node_bounds=jnp.asarray(node_bounds),
         node_meta=jnp.asarray(meta.astype(np.int32)),
         tab=jnp.asarray(tab),
         slot_tri=jnp.asarray(np.where(valid, order, 0).astype(np.int32)),
+        node4_bounds=jnp.asarray(n4b),
+        node4_meta=jnp.asarray(n4m),
         has_uv=has_uv,
         has_tangent=with_tangent,
         packed=pack_pairs,
+        width=width,
     )
 
 
-def _kernel(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
+def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
             stack_ref, w_s, a_s, a_s2, acc_ref, rbl_ref, dma_sems,
             *, stack_depth: int, has_uv: bool, with_tangent: bool,
             num_out: int, packets_per_step: int, rb_window: int,
             rb_prefetch: bool, rb_gather: str, rb_packed: bool,
             rb_mode: str, leaf_pipeline: bool = False,
+            bvh_width: int = 2,
             shade: dict = None, sc_ref=None, mtab_ref=None):
     """One grid step = `packets_per_step` packets, unrolled with STATIC
     packet indices. Round 1 looped packets with fori and indexed
@@ -347,7 +429,7 @@ def _kernel(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
 
             @pl.when(any_live)
             def _(pkt=pkt):
-                _packet_body(nb_ref, nm_ref, tab_ref,
+                _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref,
                              rays_ref, out_ref, pkt, stack_ref, w_s, a_s,
                              a_s2, acc_ref, rbl_ref, dma_sems,
                              stack_depth=stack_depth,
@@ -355,7 +437,8 @@ def _kernel(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
                              num_out=num_out, rb_window=rb_window,
                              rb_prefetch=rb_prefetch, rb_gather=rb_gather,
                              rb_packed=rb_packed, rb_mode=rb_mode,
-                             leaf_pipeline=leaf_pipeline, shade=shade,
+                             leaf_pipeline=leaf_pipeline,
+                             bvh_width=bvh_width, shade=shade,
                              shade_keys=(sample_key, bounce),
                              mtab_ref=mtab_ref)
 
@@ -367,14 +450,14 @@ def _kernel(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
         if "nofastpath" in _ABLATE:
             # Timing bisection: run every packet body unconditionally (the
             # pre-892d708 structure; dead packets pay the ~13.7us floor).
-            _packet_body(nb_ref, nm_ref, tab_ref,
+            _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref,
                          rays_ref, out_ref, pkt, stack_ref, w_s, a_s, a_s2,
                          acc_ref, rbl_ref, dma_sems, stack_depth=stack_depth,
                          has_uv=has_uv, with_tangent=with_tangent,
                          num_out=num_out, rb_window=rb_window,
                          rb_prefetch=rb_prefetch, rb_gather=rb_gather,
                          rb_packed=rb_packed, rb_mode=rb_mode,
-                         leaf_pipeline=leaf_pipeline)
+                         leaf_pipeline=leaf_pipeline, bvh_width=bvh_width)
             continue
         # Dead-packet fast path: per-wave compaction leaves late waves
         # mostly dead packets, and the full body's plumbing floor (ray
@@ -384,14 +467,14 @@ def _kernel(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
 
         @pl.when(any_live)
         def _(pkt=pkt):
-            _packet_body(nb_ref, nm_ref, tab_ref,
+            _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref,
                          rays_ref, out_ref, pkt, stack_ref, w_s, a_s, a_s2,
                          acc_ref, rbl_ref, dma_sems, stack_depth=stack_depth,
                          has_uv=has_uv, with_tangent=with_tangent,
                          num_out=num_out, rb_window=rb_window,
                          rb_prefetch=rb_prefetch, rb_gather=rb_gather,
                          rb_packed=rb_packed, rb_mode=rb_mode,
-                         leaf_pipeline=leaf_pipeline)
+                         leaf_pipeline=leaf_pipeline, bvh_width=bvh_width)
 
         @pl.when(jnp.logical_not(any_live))
         def _(pkt=pkt):
@@ -402,12 +485,14 @@ def _kernel(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
             out_ref[pkt, 3 + num_out] = zero - 1.0  # winner slot: none
 
 
-def _packet_body(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
+def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
+                 out_ref,
                  pkt, stack_ref, w_s, a_s, a_s2, acc_ref, rbl_ref, dma_sems,
                  *, stack_depth: int, has_uv: bool, with_tangent: bool,
                  num_out: int, rb_window: int, rb_prefetch: bool,
                  rb_gather: str, rb_packed: bool, rb_mode: str,
-                 leaf_pipeline: bool = False, shade: dict = None,
+                 leaf_pipeline: bool = False, bvh_width: int = 2,
+                 shade: dict = None,
                  shade_keys=None, mtab_ref=None):
     from tracy_tpu.ops import pallas_shade as _ps
 
@@ -807,6 +892,83 @@ def _packet_body(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
         return jnp.where(imp, cand_t, bt)
 
 
+    def leaf_visit(m_first, m_count, sp_in, bt):
+        """One leaf visit (shared by the binary and 4-wide traversals):
+        chunk DMA (or pipeline hand-off) + the MT test + readback."""
+        if "noleaf" in _ABLATE:
+            return bt
+        if "countvisits" in _ABLATE:
+            rbl_ref[2] = rbl_ref[2] + 1
+        first = m_first
+
+        # The leaf's CHUNK is 128-aligned by construction (build_tables
+        # bin-packs leaves into chunks; the multiple_of hint asserts it).
+        # The big per-triangle tables live in HBM — DMA this leaf's
+        # [*, 128] chunk into VMEM scratch (keeps VMEM usage independent
+        # of scene size; ~1-2us per leaf visit, dwarfed by the math).
+        chunk_base = pl.multiple_of((first // LEAF) * LEAF, LEAF)
+        sub_off = first - chunk_base
+
+        # ONE DMA + ONE wait per leaf visit. For 'fused'/'mt' the w_s
+        # scratch covers the WHOLE fused table (woop rows 0..15 +
+        # attribute rows 16..): the attributes ride in the same copy.
+        # A SECOND make_async_copy + wait per visit measured ~2.6us
+        # (the wait drains the in-flight vector chain — session P
+        # ablation: mt-noreadback 236us/packet vs fused-noreadback
+        # 66us differed ONLY by the extra cp_a.wait()).
+        # 'dma16' ablation: copy only the woop rows even when w_s
+        # covers the whole fused table (fused/mt results then read
+        # stale attr rows — timing bisection of the DMA row count).
+        if not leaf_pipeline:
+            rows_dma = (WOOP_ROWS if "dma16" in _ABLATE and
+                        w_s.shape[0] > WOOP_ROWS else w_s.shape[0])
+            dst = (w_s if rows_dma == w_s.shape[0]
+                   else w_s.at[pl.ds(0, rows_dma), :])
+            cp_w = pltpu.make_async_copy(
+                tab_ref.at[pl.ds(0, rows_dma), pl.ds(chunk_base, LEAF)],
+                dst, dma_sems.at[0])
+            if "nodma" not in _ABLATE:
+                cp_w.start()
+                cp_w.wait()
+
+        if leaf_pipeline:
+            # Software-pipelined leaf processing: start the CURRENT
+            # leaf's chunk DMA, then MT the PENDING leaf (its DMA has
+            # been in flight since its discovery, overlapped with the
+            # inner-node traversal in between). best_t tightening lags
+            # one leaf — a pruning hint only; winners are closest-hit
+            # minima, so results are bit-identical (the lag can only
+            # ADD visits whose candidates lose the strict < test).
+            # SMEM state: rbl[0] = buffer parity for the current leaf,
+            # rbl[1] = pending chunk base (-1 none), rbl[2]/[3] =
+            # pending sub_off / count.
+            par = rbl_ref[0]
+            opp = 1 - par
+
+            def cpr(par_, chunk_):
+                return pltpu.make_async_copy(
+                    tab_ref.at[:, pl.ds(chunk_, LEAF)],
+                    w_s.at[pl.ds(par_ * ROWS_W, ROWS_W), :],
+                    dma_sems.at[par_])
+
+            cpr(par, chunk_base).start()
+            pend = rbl_ref[1]
+
+            def mt_pending(b):
+                pch = pl.multiple_of(rbl_ref[1], LEAF)
+                cpr(opp, pch).wait()
+                return leaf_mt(opp * ROWS_W, pch, rbl_ref[2],
+                               rbl_ref[3], b)
+
+            bt2 = jax.lax.cond(pend >= 0, mt_pending, lambda b: b, bt)
+            rbl_ref[1] = chunk_base
+            rbl_ref[2] = sub_off
+            rbl_ref[3] = m_count
+            rbl_ref[0] = opp
+            return bt2
+
+        return leaf_mt(0, chunk_base, sub_off, m_count, bt)
+
     def cond(c):
         return c[0] > 0
 
@@ -867,86 +1029,86 @@ def _packet_body(nb_ref, nm_ref, tab_ref, rays_ref, out_ref,
             return (sp2, bt)
 
         def leaf_case(sp_in, bt):
-            if "noleaf" in _ABLATE:
-                return (sp_in, bt)
-            if "countvisits" in _ABLATE:
-                rbl_ref[2] = rbl_ref[2] + 1
-            first = m_first
-
-            # The leaf's CHUNK is 128-aligned by construction (build_tables
-            # bin-packs leaves into chunks; the multiple_of hint asserts it).
-            # The big per-triangle tables live in HBM — DMA this leaf's
-            # [*, 128] chunk into VMEM scratch (keeps VMEM usage independent
-            # of scene size; ~1-2us per leaf visit, dwarfed by the math).
-            chunk_base = pl.multiple_of((first // LEAF) * LEAF, LEAF)
-            sub_off = first - chunk_base
-
-            # ONE DMA + ONE wait per leaf visit. For 'fused'/'mt' the w_s
-            # scratch covers the WHOLE fused table (woop rows 0..15 +
-            # attribute rows 16..): the attributes ride in the same copy.
-            # A SECOND make_async_copy + wait per visit measured ~2.6us
-            # (the wait drains the in-flight vector chain — session P
-            # ablation: mt-noreadback 236us/packet vs fused-noreadback
-            # 66us differed ONLY by the extra cp_a.wait()).
-            # 'dma16' ablation: copy only the woop rows even when w_s
-            # covers the whole fused table (fused/mt results then read
-            # stale attr rows — timing bisection of the DMA row count).
-            if not leaf_pipeline:
-                rows_dma = (WOOP_ROWS if "dma16" in _ABLATE and
-                            w_s.shape[0] > WOOP_ROWS else w_s.shape[0])
-                dst = (w_s if rows_dma == w_s.shape[0]
-                       else w_s.at[pl.ds(0, rows_dma), :])
-                cp_w = pltpu.make_async_copy(
-                    tab_ref.at[pl.ds(0, rows_dma), pl.ds(chunk_base, LEAF)],
-                    dst, dma_sems.at[0])
-                if "nodma" not in _ABLATE:
-                    cp_w.start()
-                    cp_w.wait()
-
-            if leaf_pipeline:
-                # Software-pipelined leaf processing: start the CURRENT
-                # leaf's chunk DMA, then MT the PENDING leaf (its DMA has
-                # been in flight since its discovery, overlapped with the
-                # inner-node traversal in between). best_t tightening lags
-                # one leaf — a pruning hint only; winners are closest-hit
-                # minima, so results are bit-identical (the lag can only
-                # ADD visits whose candidates lose the strict < test).
-                # SMEM state: rbl[0] = buffer parity for the current leaf,
-                # rbl[1] = pending chunk base (-1 none), rbl[2]/[3] =
-                # pending sub_off / count.
-                par = rbl_ref[0]
-                opp = 1 - par
-
-                def cpr(par_, chunk_):
-                    return pltpu.make_async_copy(
-                        tab_ref.at[:, pl.ds(chunk_, LEAF)],
-                        w_s.at[pl.ds(par_ * ROWS_W, ROWS_W), :],
-                        dma_sems.at[par_])
-
-                cpr(par, chunk_base).start()
-                pend = rbl_ref[1]
-
-                def mt_pending(b):
-                    pch = pl.multiple_of(rbl_ref[1], LEAF)
-                    cpr(opp, pch).wait()
-                    return leaf_mt(opp * ROWS_W, pch, rbl_ref[2],
-                                   rbl_ref[3], b)
-
-                bt2 = jax.lax.cond(pend >= 0, mt_pending, lambda b: b, bt)
-                rbl_ref[1] = chunk_base
-                rbl_ref[2] = sub_off
-                rbl_ref[3] = m_count
-                rbl_ref[0] = opp
-                return (sp_in, bt2)
-
-            return (sp_in, leaf_mt(0, chunk_base, sub_off, m_count, bt))
+            return (sp_in, leaf_visit(m_first, m_count, sp_in, bt))
 
         return jax.lax.cond(is_leaf, leaf_case, inner_case, sp, c[1])
+
+    def body4(c):
+        """4-wide traversal step. Stack entries: e >= 0 -> 4-wide inner
+        node id; e < 0 -> binary LEAF node id encoded as -(id + 1) (the
+        leaf path is shared verbatim with the binary traversal)."""
+        sp = c[0]
+        best_t = c[1]
+        e = stack_ref[sp - 1]
+        sp = sp - 1
+        is_leaf = e < 0
+
+        def leaf_case4(sp_in, bt):
+            node = -e - 1
+            meta = nm_ref[pl.ds(node, 1), :]
+            return (sp_in, leaf_visit(meta[0, 0], meta[0, 1], sp_in, bt))
+
+        def inner_case4(sp_in, bt):
+            if "countvisits" in _ABLATE:
+                rbl_ref[3] = rbl_ref[3] + 1
+            row = n4b_ref[pl.ds(e, 1), :]  # [1, 24]: 4 child bboxes
+            m8 = n4m_ref[pl.ds(e, 1), :]  # [1, 8]: 4 (val, tag) pairs
+            ts, es = [], []
+            for k in range(4):
+                o6 = 6 * k
+                t0x = (row[0, o6 + 0] - ox) * ix
+                t1x = (row[0, o6 + 3] - ox) * ix
+                t0y = (row[0, o6 + 1] - oy) * iy
+                t1y = (row[0, o6 + 4] - oy) * iy
+                t0z = (row[0, o6 + 2] - oz) * iz
+                t1z = (row[0, o6 + 5] - oz) * iz
+                tmn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x),
+                                jnp.minimum(t0y, t1y)),
+                    jnp.minimum(t0z, t1z),
+                )
+                tmx = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x),
+                                jnp.maximum(t0y, t1y)),
+                    jnp.maximum(t0z, t1z),
+                )
+                hit = (tmx >= jnp.maximum(jnp.float32(EPS), tmn)) & (
+                    tmn < best_t)
+                val = m8[0, 2 * k]
+                tag = m8[0, 2 * k + 1]
+                tmin_k = jnp.min(jnp.where(hit, tmn, jnp.float32(BIG)))
+                # padded children have inverted never-... the standard
+                # min/max slab HITS inverted boxes, so mask by tag instead.
+                ts.append(jnp.where(tag >= 0, tmin_k, jnp.float32(BIG)))
+                es.append(jnp.where(tag == 1, -(val + 1), val))
+
+            # Ascending sort by tmin (5-comparator network), then push
+            # far-to-near so the nearest child pops first.
+            for i, j in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+                swap = ts[i] > ts[j]
+                ts[i], ts[j] = (jnp.where(swap, ts[j], ts[i]),
+                                jnp.where(swap, ts[i], ts[j]))
+                es[i], es[j] = (jnp.where(swap, es[j], es[i]),
+                                jnp.where(swap, es[i], es[j]))
+            sp2 = sp_in
+            for k in (3, 2, 1, 0):
+                hit_k = ts[k] < jnp.float32(BIG)
+                idx = jnp.minimum(sp2, stack_depth - 1)
+
+                @pl.when(hit_k)
+                def _(idx=idx, k=k):
+                    stack_ref[idx] = es[k]
+
+                sp2 = sp2 + hit_k.astype(jnp.int32)
+            return (sp2, bt)
+
+        return jax.lax.cond(is_leaf, leaf_case4, inner_case4, sp, c[1])
 
     if "notrav" in _ABLATE:
         t_final = init[1]
     else:
-        out = jax.lax.while_loop(cond, body, init)
+        out = jax.lax.while_loop(cond, body4 if bvh_width == 4 else body,
+                                 init)
         t_final = out[1]
 
     if leaf_pipeline:
@@ -1339,12 +1501,12 @@ def pallas_intersect(
         num_out=na, packets_per_step=pps, rb_window=rb_window,
         rb_prefetch=rb_prefetch, rb_gather=rb_gather,
         rb_packed=tables.packed, rb_mode=rb_mode,
-        leaf_pipeline=leaf_pipeline,
+        leaf_pipeline=leaf_pipeline, bvh_width=tables.width,
     )
 
-    def kernel_wrap(nb, nm, tab, rays_blk, out_blk,
+    def kernel_wrap(nb, nm, n4b, n4m, tab, rays_blk, out_blk,
                     stack, w_s, a_s, a_s2, acc, rbl, sems):
-        kernel(nb, nm, tab, rays_blk, out_blk,
+        kernel(nb, nm, n4b, n4m, tab, rays_blk, out_blk,
                stack, w_s, a_s, a_s2, acc, rbl, sems)
 
     attr_rows = tables.tab.shape[0] - WOOP_ROWS
@@ -1368,6 +1530,12 @@ def pallas_intersect(
             pl.BlockSpec(tables.node_meta.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM,
                          pipeline_mode=pl.Buffered(buffer_count=1)),
+            pl.BlockSpec(tables.node4_bounds.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM,
+                         pipeline_mode=pl.Buffered(buffer_count=1)),
+            pl.BlockSpec(tables.node4_meta.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM,
+                         pipeline_mode=pl.Buffered(buffer_count=1)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((pps, 7, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1388,7 +1556,8 @@ def pallas_intersect(
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
-    )(tables.node_bounds, tables.node_meta, tables.tab, rays)
+    )(tables.node_bounds, tables.node_meta, tables.node4_bounds,
+      tables.node4_meta, tables.tab, rays)
 
     def flat(p):
         return out[:, p].reshape(npad)[:n]
@@ -1476,16 +1645,16 @@ def pallas_trace_bounce(
     shade = dict(num_materials=num_materials, seed=seed,
                  russian_roulette=russian_roulette)
 
-    def kernel_wrap(sc_r, mtab_r, nb, nm, tab, rays_blk, out_blk,
-                    stack, w_s, a_s, a_s2, acc, rbl, sems):
-        _kernel(nb, nm, tab, rays_blk, out_blk,
+    def kernel_wrap(sc_r, mtab_r, nb, nm, n4b, n4m, tab, rays_blk,
+                    out_blk, stack, w_s, a_s, a_s2, acc, rbl, sems):
+        _kernel(nb, nm, n4b, n4m, tab, rays_blk, out_blk,
                 stack, w_s, a_s, a_s2, acc, rbl, sems,
                 stack_depth=stack_depth, has_uv=False, with_tangent=False,
                 num_out=na, packets_per_step=pps, rb_window=1,
                 rb_prefetch=False, rb_gather="take",
                 rb_packed=tables.packed, rb_mode="fused",
-                leaf_pipeline=leaf_pipeline, shade=shade, sc_ref=sc_r,
-                mtab_ref=mtab_r)
+                leaf_pipeline=leaf_pipeline, bvh_width=tables.width,
+                shade=shade, sc_ref=sc_r, mtab_ref=mtab_r)
 
     attr_rows = tables.tab.shape[0] - WOOP_ROWS
     w_rows = tables.tab.shape[0] * (2 if leaf_pipeline else 1)
@@ -1506,6 +1675,12 @@ def pallas_trace_bounce(
             pl.BlockSpec(tables.node_meta.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM,
                          pipeline_mode=pl.Buffered(buffer_count=1)),
+            pl.BlockSpec(tables.node4_bounds.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM,
+                         pipeline_mode=pl.Buffered(buffer_count=1)),
+            pl.BlockSpec(tables.node4_meta.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM,
+                         pipeline_mode=pl.Buffered(buffer_count=1)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((pps, _ps.STATE_PLANES, 8, 128),
                          lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -1523,7 +1698,8 @@ def pallas_trace_bounce(
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
-    )(sc, mtab, tables.node_bounds, tables.node_meta, tables.tab, rays)
+    )(sc, mtab, tables.node_bounds, tables.node_meta,
+      tables.node4_bounds, tables.node4_meta, tables.tab, rays)
 
     def flat(p):
         return out[:, p].reshape(npad)[:n]
@@ -1581,12 +1757,13 @@ def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,
                             rb_prefetch: bool = False,
                             rb_gather: str = "take",
                             rb_mode: str = "minloop",
-                            leaf_pipeline: bool = False):
+                            leaf_pipeline: bool = False,
+                            width: int = 2):
     """Rich IntersectFn backed by the Pallas kernel, or None if the scene
     doesn't fit the VMEM budget. The returned function carries its
     PallasSceneTables as `.tables` (slot_tri maps winner slots to tris)."""
     tables = build_tables(scene, bvh, with_tangent,
-                          pack_pairs=(rb_gather != "onehot"))
+                          pack_pairs=(rb_gather != "onehot"), width=width)
     if tables.vmem_bytes > vmem_limit_bytes:
         return None
 

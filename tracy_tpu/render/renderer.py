@@ -308,6 +308,7 @@ class Renderer:
                 cand = build_tables(
                     scene, bvh, with_tangent,
                     pack_pairs=(self.cfg.pallas_rb_gather != "onehot"),
+                    width=self.cfg.pallas_bvh_width,
                 )
                 if cand.vmem_bytes <= 8 * 1024 * 1024:  # node tables (VMEM)
                     tables = cand
