@@ -18,7 +18,7 @@ exec bash tools/tpu_session.sh logs/r2_session_s.log \
  "TRACY_BENCH_RBM=fused TRACY_BENCH_COMPACT=0 python bench.py" \
  "TRACY_BENCH_RBM=vlist TRACY_BENCH_COMPACT=262144 python bench.py" \
  "TRACY_BENCH_RBM=fused TRACY_BENCH_COMPACT=262144 TRACY_BENCH_PIPE=1 python bench.py" \
- "TRACY_BENCH_RBM=fused TRACY_BENCH_COMPACT=262144 TRACY_BENCH_SHADE=0 python bench.py" \
+ "TRACY_BENCH_RBM=fused TRACY_BENCH_COMPACT=262144 TRACY_BENCH_SHADE=1 python bench.py" \
  "TRACY_BENCH_RBM=fused TRACY_BENCH_COMPACT=262144 TRACY_BENCH_BOUNCE=1 python bench.py" \
  "TRACY_BENCH_RBM=fused TRACY_BENCH_COMPACT=262144 TRACY_BENCH_BOUNCE=1 TRACY_BENCH_PIPE=1 python bench.py" \
  "TRACY_BENCH_RBM=fused TRACY_BENCH_COMPACT=262144 TRACY_BENCH_BVHW=4 python bench.py" \

@@ -62,7 +62,8 @@ def _build_blas(pos: np.ndarray, idx: np.ndarray, rng: Tuple[int, int],
 
 
 def _stitch(blas: Dict[int, HostBVH],
-            tri_ranges: Tuple[Tuple[int, int], ...]) -> HostBVH:
+            tri_ranges: Tuple[Tuple[int, int], ...],
+            max_depth: int = 40) -> HostBVH:
     """TLAS over object AABBs (leaf_size=1), BLAS roots inlined at the TLAS
     leaves, everything re-indexed into one flat node/tri_order array."""
     n_obj = len(tri_ranges)
@@ -79,7 +80,7 @@ def _stitch(blas: Dict[int, HostBVH],
             max_depth=b.max_depth,
         )
 
-    tlas = _build_auto(obj_min, obj_max, 1, 40)
+    tlas = _build_auto(obj_min, obj_max, 1, max_depth)
 
     nb_out: List[np.ndarray] = []
     nm_out: List[np.ndarray] = []
@@ -171,7 +172,7 @@ def build_two_level(scene, leaf_size: int = 64,
     }
     two = TwoLevelBVH(
         blas=blas, tri_ranges=tuple(tri_ranges),
-        stitched=_stitch(blas, tuple(tri_ranges)),
+        stitched=_stitch(blas, tuple(tri_ranges), max_depth),
         leaf_size=leaf_size, max_depth=max_depth,
         rebuild_counts={i: 1 for i in blas},
     )
@@ -188,13 +189,17 @@ def update_object(two: TwoLevelBVH, scene, obj: int) -> TwoLevelBVH:
     two.blas[obj] = _build_blas(pos, idx, two.tri_ranges[obj],
                                 two.leaf_size, two.max_depth)
     two.rebuild_counts[obj] = two.rebuild_counts.get(obj, 0) + 1
-    two.stitched = _stitch(two.blas, two.tri_ranges)
+    two.stitched = _stitch(two.blas, two.tri_ranges, two.max_depth)
     return two
 
 
 def transform_object(scene, obj: int, matrix: np.ndarray):
-    """Return a scene with object `obj`'s vertices transformed by `matrix`
-    (positions by M, normals/tangents by (M^-1)^T — mesh.h:116-125)."""
+    """Return a scene with object `obj`'s vertices transformed by `matrix`.
+
+    Positions transform by M; normals by normalize((M^-1)^T * n) — matching
+    the reference Mesh::Transform (mesh.h:115-125). Tangents are surface
+    directions, so they transform covariantly by M itself (the reference
+    never transforms tangents; it computes them post-transform)."""
     import jax.numpy as jnp
 
     m = np.asarray(matrix, np.float32)
@@ -207,10 +212,11 @@ def transform_object(scene, obj: int, matrix: np.ndarray):
     sl = slice(vstart, vstart + vcount)
     p = pos[sl]
     pos[sl] = p @ m[:3, :3].T + m[:3, 3]
-    n = nrm[sl]
-    nrm[sl] = n @ nrm_m[:3, :3].T
+    n = nrm[sl] @ nrm_m[:3, :3].T
+    nrm[sl] = n / np.maximum(
+        np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
     t = tan[sl]
-    tan[sl] = t @ nrm_m[:3, :3].T
+    tan[sl] = t @ m[:3, :3].T
 
     return dataclasses.replace(
         scene,

@@ -107,7 +107,14 @@ def main(argv=None):
         accel = "packet" if on_tpu else "bvh"
     compact = args.compact
     if compact is None:
-        compact = 262144 if (on_tpu and accel in ("packet", "tlas")) else 0
+        if on_tpu and accel in ("packet", "tlas"):
+            # The compactor pads each wave up to a multiple of the group —
+            # clamp the default to the wave's actual ray count so a small
+            # render doesn't trace 262144-ray waves of mostly dead lanes.
+            npix = builder.width * builder.height
+            compact = min(262144, 1 << max(npix.bit_length() - 1, 11))
+        else:
+            compact = 0
 
     cfg = RenderConfig(
         width=builder.width,

@@ -251,6 +251,18 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool,
     # per chunk (measured +8% chunks on the dragon). A leaf's meta[0]
     # becomes chunk*128 + sub_offset; the kernel masks
     # [sub_offset, sub_offset + count) within the chunk.
+    oversized = meta[leaf_nodes, 1] > LEAF
+    if oversized.any():
+        # A depth-capped leaf wider than one chunk would silently lose the
+        # excess triangles (the kernel masks [sub, sub+count) within ONE
+        # 128-slot chunk) — make that loud instead of producing holes.
+        import warnings
+
+        warnings.warn(
+            f"build_tables: {int(oversized.sum())} leaf/leaves exceed "
+            f"{LEAF} triangles (max {int(meta[leaf_nodes, 1].max())}); "
+            "excess triangles will NOT be intersected. Raise max_depth or "
+            "lower leaf_size for this scene.", RuntimeWarning, stacklevel=2)
     chunk_fill = [0]  # used slots per chunk
     placement = {}
     # meta[:,0] (segment start in tri_order) is exactly the left-to-right

@@ -256,6 +256,12 @@ class Renderer:
                                   max_depth=max(self.cfg.traversal_stack_depth - 8, 8))
             self._two_level = two
             packed = pack_bvh(two.stitched, self.cfg.packet_leaf_size)
+            # The stitched tree can be deeper than any single BLAS (TLAS
+            # levels + left-deep multi-object-leaf chains), and the packet
+            # traversal's stack clamp silently corrupts pops on overflow —
+            # size the traversal stack from the stitched depth, not the
+            # config default.
+            stitched_depth = int(two.stitched.max_depth) + 4
             with_tangent = bool(
                 (np.asarray(scene.materials.tex_index)[:, TEX_NORMAL] >= 0).any()
             )
@@ -264,7 +270,7 @@ class Renderer:
             )
 
             leaf = self.cfg.packet_leaf_size
-            depth = self.cfg.traversal_stack_depth
+            depth = max(self.cfg.traversal_stack_depth, stitched_depth)
             psize = self.cfg.packet_size
             tri = prepare_packet_tri_data_host(scene, packed, with_tangent)
             self._accel_data = (packed, tri)

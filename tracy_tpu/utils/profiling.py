@@ -42,3 +42,18 @@ def packet_speed_of_light(num_rays: int, tris_per_leaf: int, leaves_per_ray: flo
     pair_flops = 33.0
     flops_per_ray = pair_flops * tris_per_leaf * leaves_per_ray
     return vpu_tflops * 1e12 / flops_per_ray
+
+
+def packet_hbm_bound(rays_per_packet: int, dma_rows: int,
+                     leaf_visits_per_packet: float,
+                     hbm_gbps: float = 819.0) -> float:
+    """HBM-bandwidth rays/s ceiling for the Pallas packet kernel.
+
+    Every leaf visit DMAs one 128-slot chunk of `dma_rows` f32 rows from
+    HBM into VMEM (ops/pallas_packet.py::build_tables); per-visit cost is
+    measured to track exactly this row count (NOTES.md sessions P-R).
+    v5e HBM ~819 GB/s.
+    """
+    bytes_per_visit = dma_rows * 128 * 4
+    bytes_per_ray = bytes_per_visit * leaf_visits_per_packet / rays_per_packet
+    return hbm_gbps * 1e9 / max(bytes_per_ray, 1e-9)
