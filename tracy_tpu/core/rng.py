@@ -18,12 +18,17 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Large odd constants for mixing the counter dimensions (Weyl-style).
-_K_PIXEL = jnp.uint32(0x9E3779B9)
-_K_FRAME = jnp.uint32(0x85EBCA6B)
-_K_BOUNCE = jnp.uint32(0xC2B2AE35)
-_K_DRAW = jnp.uint32(0x27D4EB2F)
+# numpy scalars, NOT jnp arrays: a module-level jnp constant would
+# initialize the XLA backend at import time, breaking
+# jax.distributed.initialize's must-be-first contract (multi-process runs).
+# uint32 arithmetic is identical either way.
+_K_PIXEL = np.uint32(0x9E3779B9)
+_K_FRAME = np.uint32(0x85EBCA6B)
+_K_BOUNCE = np.uint32(0xC2B2AE35)
+_K_DRAW = np.uint32(0x27D4EB2F)
 
 
 def _pcg_hash(x: jnp.ndarray) -> jnp.ndarray:

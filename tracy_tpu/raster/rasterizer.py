@@ -29,7 +29,11 @@ from tracy_tpu.config import RenderConfig
 from tracy_tpu.core import math as tm
 from tracy_tpu.scene.scene import SceneArrays
 
-FLT_MAX = jnp.float32(3.4028235e38)
+# numpy scalar, not a jnp array: module-level jnp constants initialize the
+# XLA backend at import, breaking jax.distributed.initialize (multi-process).
+import numpy as _np
+
+FLT_MAX = _np.float32(3.4028235e38)
 
 
 def _det3(m):

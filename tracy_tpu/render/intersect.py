@@ -20,7 +20,11 @@ import jax.numpy as jnp
 
 from tracy_tpu.core import math as tm
 
-FLT_MAX = jnp.float32(3.4028235e38)
+# numpy scalar, not a jnp array: module-level jnp constants initialize the
+# XLA backend at import, breaking jax.distributed.initialize (multi-process).
+import numpy as _np
+
+FLT_MAX = _np.float32(3.4028235e38)
 
 
 class Hit(NamedTuple):
