@@ -164,8 +164,8 @@ def test_full_render_with_shade_stage():
     mtab = build_material_table(scene.materials)
     num_m = int(np.asarray(scene.materials.albedo).shape[0])
 
-    def shade_fn(o, d, thr, rad, alive, pix, hmask, t, normal, mat,
-                 skey, bounce):
+    def shade_fn(o, d, thr, rad, alive, pix, hmask, t, normal, tangent,
+                 uv, mat, skey, bounce):
         return shade_packets(
             o, d, thr, rad, alive, pix, hmask, t, normal, mat, mtab,
             skey, bounce, num_materials=num_m, seed=cfg.seed,

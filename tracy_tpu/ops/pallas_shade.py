@@ -47,6 +47,10 @@ HIT_PLANES = 6
 _M_AR, _M_AG, _M_AB, _M_ROUGH, _M_METAL, _M_IOR = range(6)
 _M_ER, _M_EG, _M_EB, _M_TRANSL = range(6, 10)
 MTAB_ROWS = 10
+# textured-table extension: per-material slot-present flags (TEX_* order),
+# row 15 zero pad -> 16 rows (8-multiple sublane block).
+_M_HASBC, _M_HASN, _M_HASR, _M_HASM, _M_HASE = range(10, 15)
+MTAB_TEX_ROWS = 16
 
 # RNG draw ids (render/integrator.py)
 _DRAW_SPHERE_Z, _DRAW_SPHERE_PHI, _DRAW_SPECULAR, _DRAW_ROULETTE = range(4)
@@ -106,13 +110,23 @@ def _shade_packet(sample_key, bounce, state_ref, hit_ref, mtab_ref, out_ref,
 
 
 def shade_planes(sample_key, bounce, state, hitp, mread, *,
-                 num_materials: int, seed: int, russian_roulette: bool):
+                 num_materials: int, seed: int, russian_roulette: bool,
+                 texels=None, sky_has_tex: bool = False):
     """One bounce of shading on [8, 128] planes — pure values, no refs,
     shared by the standalone shade kernel and the fused bounce kernel.
 
     state: 14 planes (STATE_PLANES order); hitp: 6 planes (HIT_PLANES
-    order); mread(row, m) -> scalar material-table entry. Returns the 13
-    output planes (STATE_PLANES minus pix)."""
+    order), or 9 with the interpolated tangent appended when `texels` is
+    given; mread(row, m) -> scalar material-table entry. Returns the 13
+    output planes (STATE_PLANES minus pix).
+
+    texels: optional tuple of TEXEL_ROWS planes from the texture fetch
+    kernel (ops/pallas_texfetch.py) — per-lane full-res nearest samples.
+    With texels, material parameters are texture-overridden per the
+    _M_HAS* flag rows and the normal is tangent-space normal-mapped,
+    matching render/material.py::gather_surface_params op-for-op; miss
+    lanes' sky emission comes from the sky texel rows when sky_has_tex
+    (reference material.h:164-203, cuda_trace.cu:73-135)."""
     ox, oy, oz = (state[k] for k in (_S_OX, _S_OY, _S_OZ))
     dx, dy, dz = (state[k] for k in (_S_DX, _S_DY, _S_DZ))
     thr = [state[k] for k in (_S_TR, _S_TG, _S_TB)]
@@ -156,6 +170,43 @@ def shade_planes(sample_key, bounce, state, hitp, mread, *,
     ior = mrow(_M_IOR)
     emis = [mrow(_M_ER), mrow(_M_EG), mrow(_M_EB)]
     transl = mrow(_M_TRANSL)
+
+    if texels is not None:
+        from tracy_tpu.ops.pallas_texfetch import (
+            TX_BCR, TX_EMR, TX_METAL, TX_NMR, TX_ROUGH,
+        )
+
+        hasbc, hasn = mrow(_M_HASBC) > 0.0, mrow(_M_HASN) > 0.0
+        hasr, hasm = mrow(_M_HASR) > 0.0, mrow(_M_HASM) > 0.0
+        hase = mrow(_M_HASE) > 0.0
+        bc = [jnp.where(hasbc, texels[TX_BCR + c], bc[c]) for c in range(3)]
+        rough = jnp.where(hasr, texels[TX_ROUGH], rough)
+        metal = jnp.where(hasm, texels[TX_METAL], metal)
+        emis = [jnp.where(hase, texels[TX_EMR + c], emis[c])
+                for c in range(3)]
+
+        # Normal mapping (gather_surface_params, material.h:189-203):
+        # tbn columns = [bitangent, RAW tangent, shading normal] with
+        # bitangent = cross(N, normalize(T - dot(T,N)N)) — the raw
+        # interpolated T in the matrix itself is a reference quirk.
+        tx_, ty_, tz_ = hitp[6], hitp[7], hitp[8]
+        ntx = [texels[TX_NMR + c] * 2.0 - 1.0 for c in range(3)]
+        tdn = tx_ * nx + ty_ * ny + tz_ * nz
+        ox_t, oy_t, oz_t = tx_ - tdn * nx, ty_ - tdn * ny, tz_ - tdn * nz
+        inv_t = 1.0 / jnp.sqrt(jnp.maximum(
+            ox_t * ox_t + oy_t * oy_t + oz_t * oz_t, jnp.float32(1e-20)))
+        ox_t, oy_t, oz_t = ox_t * inv_t, oy_t * inv_t, oz_t * inv_t
+        bx = ny * oz_t - nz * oy_t
+        by = nz * ox_t - nx * oz_t
+        bz = nx * oy_t - ny * ox_t
+        mx = bx * ntx[0] + tx_ * ntx[1] + nx * ntx[2]
+        my = by * ntx[0] + ty_ * ntx[1] + ny * ntx[2]
+        mz = bz * ntx[0] + tz_ * ntx[1] + nz * ntx[2]
+        inv_m = 1.0 / jnp.sqrt(jnp.maximum(
+            mx * mx + my * my + mz * mz, jnp.float32(1e-20)))
+        nx = jnp.where(hasn, mx * inv_m, nx)
+        ny = jnp.where(hasn, my * inv_m, ny)
+        nz = jnp.where(hasn, mz * inv_m, nz)
 
     # ---- scatter (render/material.py::scatter, plane-for-plane) ----------
     v_dot_n = dx * nx + dy * ny + dz * nz
@@ -219,7 +270,14 @@ def shade_planes(sample_key, bounce, state, hitp, mread, *,
              pz + RAY_OFFSET * ndir[2])
 
     # ---- emission + throughput (integrator.py bounce_step) ---------------
-    sky = [mread(_M_ER, 0), mread(_M_EG, 0), mread(_M_EB, 0)]
+    if texels is not None and sky_has_tex:
+        # Miss lanes' texel rows were fetched from the sky equirect pages
+        # (integrator.py::sky_emission); hit lanes never read `sky`.
+        from tracy_tpu.ops.pallas_texfetch import TX_EMR
+
+        sky = [texels[TX_EMR + c] for c in range(3)]
+    else:
+        sky = [mread(_M_ER, 0), mread(_M_EG, 0), mread(_M_EB, 0)]
     for c in range(3):
         e_c = jnp.where(hit_mask, emis[c], 0.0) + jnp.where(
             miss_mask, sky[c], 0.0)
@@ -275,6 +333,159 @@ def build_material_table(materials) -> jnp.ndarray:
     tab[_M_EB, :num_m] = emi[:, 2]
     tab[_M_TRANSL, :num_m] = np.asarray(m.translucent, np.float32)
     return jnp.asarray(tab)
+
+
+def build_material_table_tex(materials, tex_pages) -> jnp.ndarray:
+    """[MTAB_TEX_ROWS, 128] material table with slot-present flag rows.
+
+    Rows 0-9 match build_material_table; rows 10-14 are the TexturePages
+    flags (which slots each material overrides with a texture)."""
+    base = build_material_table(materials)
+    if base is None:
+        return None
+    num_m = int(np.asarray(materials.albedo).shape[0])
+    tab = np.zeros((MTAB_TEX_ROWS, 128), np.float32)
+    tab[:MTAB_ROWS] = np.asarray(base)
+    tab[_M_HASBC:_M_HASE + 1, :num_m] = (
+        np.asarray(tex_pages.flags, np.float32).T)
+    return jnp.asarray(tab)
+
+
+def _kernel_tex(sc_ref, state_ref, hit_ref, tex_ref, mtab_ref, out_ref,
+                *, num_materials: int, seed: int, russian_roulette: bool,
+                packets_per_step: int, sky_has_tex: bool):
+    from tracy_tpu.ops.pallas_texfetch import TEXEL_ROWS
+
+    sample_key = sc_ref[0].astype(jnp.uint32)
+    bounce = sc_ref[1].astype(jnp.uint32)
+
+    for pkt in range(packets_per_step):
+        any_live = jnp.max(state_ref[pkt, _S_ALIVE]) > 0.0
+
+        @pl.when(any_live)
+        def _(pkt=pkt):
+            state = tuple(state_ref[pkt, k] for k in range(STATE_PLANES))
+            hitp = tuple(hit_ref[pkt, k] for k in range(HIT_PLANES_TEX))
+            texels = tuple(tex_ref[pkt, k] for k in range(TEXEL_ROWS))
+            outs = shade_planes(
+                sample_key, bounce, state, hitp,
+                lambda row, m: mtab_ref[row, m],
+                num_materials=num_materials, seed=seed,
+                russian_roulette=russian_roulette, texels=texels,
+                sky_has_tex=sky_has_tex)
+            for k, v in enumerate(outs):
+                out_ref[pkt, k] = v
+
+        @pl.when(jnp.logical_not(any_live))
+        def _(pkt=pkt):
+            for k in range(STATE_PLANES - 1):
+                out_ref[pkt, k] = state_ref[pkt, k]
+
+
+HIT_PLANES_TEX = 9  # mask, t, normal xyz, mat, tangent xyz
+
+
+def shade_packets_textured(
+    origin, direction, throughput, radiance, alive, pixel_idx,
+    hit_mask, t, normal, tangent, uv, mat_id, mtab, tex_pages,
+    sample_key, bounce,
+    *, num_materials: int, seed: int, russian_roulette: bool,
+    interpret: bool = False, packets_per_step: int = 8,
+):
+    """One TEXTURED shading bounce over N rays (full-res nearest samples).
+
+    Three stages in one jitted graph: (1) pure-elementwise XLA page/lane
+    addressing (ops/pallas_texfetch.lane_page_indices — the exact
+    sample_nearest math), (2) the texture fetch kernel (one DMA per
+    distinct 16x8 texel tile), (3) this shade kernel with per-lane texel
+    planes. Bit-identical to integrator.py's XLA bounce_step on textured
+    scenes (reference material.h:164-203, cuda_trace.cu:73-135)."""
+    from tracy_tpu.ops.pallas_texfetch import fetch_texels, lane_page_indices
+
+    n0 = origin.shape[0]
+    npad = -(-n0 // PACKET) * PACKET
+    if npad != n0:
+        p = npad - n0
+
+        def padv(x, c=0.0):
+            w = ((0, p),) + ((0, 0),) * (x.ndim - 1)
+            return jnp.pad(x, w, constant_values=c)
+
+        origin, direction = padv(origin), padv(direction)
+        throughput, radiance = padv(throughput), padv(radiance)
+        alive, pixel_idx = padv(alive), padv(pixel_idx)
+        hit_mask, t, normal = padv(hit_mask), padv(t), padv(normal)
+        tangent, uv, mat_id = padv(tangent), padv(uv), padv(mat_id)
+    n = npad
+    k = n // PACKET
+
+    page, lanepos = lane_page_indices(
+        tex_pages, mat_id, uv, direction, hit_mask, alive)
+    texp = fetch_texels(tex_pages.pages, page, lanepos,
+                        interpret=interpret,
+                        packets_per_step=packets_per_step)
+
+    pixf = jax.lax.bitcast_convert_type(
+        pixel_idx.astype(jnp.uint32), jnp.float32)
+    state = _pack(
+        [origin[:, 0], origin[:, 1], origin[:, 2],
+         direction[:, 0], direction[:, 1], direction[:, 2],
+         throughput[:, 0], throughput[:, 1], throughput[:, 2],
+         radiance[:, 0], radiance[:, 1], radiance[:, 2],
+         alive.astype(jnp.float32), pixf], k)
+    hitp = _pack(
+        [hit_mask.astype(jnp.float32), t,
+         normal[:, 0], normal[:, 1], normal[:, 2],
+         mat_id.astype(jnp.float32),
+         tangent[:, 0], tangent[:, 1], tangent[:, 2]], k)
+    sc = jnp.stack([jnp.asarray(sample_key, jnp.int32).astype(jnp.int32),
+                    jnp.asarray(bounce, jnp.int32)])
+
+    pps = min(packets_per_step, k)
+    while k % pps != 0:
+        pps -= 1
+
+    from tracy_tpu.ops.pallas_texfetch import PAGE_ROWS, SKY_MATERIAL_ID
+    from tracy_tpu.scene.scene import TEX_EMISSIVE
+
+    sky_has_tex = bool(tex_pages.base[SKY_MATERIAL_ID] >= 0
+                       and tex_pages.flags[SKY_MATERIAL_ID, TEX_EMISSIVE])
+    kernel = functools.partial(
+        _kernel_tex, num_materials=num_materials, seed=seed,
+        russian_roulette=russian_roulette, packets_per_step=pps,
+        sky_has_tex=sky_has_tex)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((k, STATE_PLANES - 1, 8, 128),
+                                       jnp.float32),
+        grid=(k // pps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((pps, STATE_PLANES, 8, 128),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pps, HIT_PLANES_TEX, 8, 128),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pps, PAGE_ROWS, 8, 128),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(mtab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM,
+                         pipeline_mode=pl.Buffered(buffer_count=1)),
+        ],
+        out_specs=pl.BlockSpec((pps, STATE_PLANES - 1, 8, 128),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(sc, state, hitp, texp, mtab)
+
+    def flat(p):
+        return out[:, p].reshape(n)[:n0]
+
+    origin = jnp.stack([flat(_S_OX), flat(_S_OY), flat(_S_OZ)], axis=-1)
+    direction = jnp.stack([flat(_S_DX), flat(_S_DY), flat(_S_DZ)], axis=-1)
+    thr = jnp.stack([flat(_S_TR), flat(_S_TG), flat(_S_TB)], axis=-1)
+    rad = jnp.stack([flat(_S_RR), flat(_S_RG), flat(_S_RB)], axis=-1)
+    return origin, direction, thr, rad, flat(_S_ALIVE) > 0.0
 
 
 def _pack(planes, k):

@@ -122,10 +122,11 @@ def trace_paths(
     active0: jnp.ndarray = None,  # [N] bool; None = all live. Dead lanes
     # (tile-padding rows) are never counted and contribute no radiance.
     shade_fn=None,  # optional on-core shading stage (ops/pallas_shade.py):
-    # (o, d, thr, rad, alive, pix, hit_mask, t, normal, mat, skey, bounce)
-    # -> next (o, d, thr, rad, alive); bit-identical to the jnp math below.
-    # Requires a RICH intersector. Installed by the Renderer on TPU for
-    # untextured beauty renders.
+    # (o, d, thr, rad, alive, pix, hit_mask, t, normal, tangent, uv, mat,
+    # skey, bounce) -> next (o, d, thr, rad, alive); bit-identical to the
+    # jnp math below. Requires a RICH intersector. Installed by the
+    # Renderer on TPU for beauty renders (textured scenes route through
+    # the texture fetch kernel, ops/pallas_texfetch.py).
     bounce_fn=None,  # optional FUSED bounce megakernel (intersect + shade
     # in one kernel, ops/pallas_packet.pallas_trace_bounce, possibly
     # compaction-wrapped): (o, d, thr, rad, alive, pix, skey, bounce) ->
@@ -163,7 +164,7 @@ def trace_paths(
             o2, d2, thr2, rad2, alive2 = shade_fn(
                 state.origin, state.direction, state.throughput,
                 state.radiance, state.alive, pixel_idx,
-                hit.mask, hit.t, pa.normal, pa.material,
+                hit.mask, hit.t, pa.normal, pa.tangent, pa.uv, pa.material,
                 sample_key, bounce,
             )
             return PathState(o2, d2, thr2, rad2, alive2, ray_count), None

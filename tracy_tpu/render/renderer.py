@@ -419,8 +419,10 @@ class Renderer:
     def _maybe_bind_shade(self, scene: SceneArrays):
         """On-core shading stage (ops/pallas_shade.py) when eligible:
         TPU backend, Pallas on, rich packet intersector, beauty AOV,
-        untextured scene, <=128 materials. Bit-identical to the XLA
-        shading math, so eligibility only affects speed."""
+        <=128 materials. Textured scenes route through the texture fetch
+        kernel (ops/pallas_texfetch.py) when the scene's maps fit the
+        page layout. Bit-identical to the XLA shading math, so
+        eligibility only affects speed."""
         cfg = self.cfg
         if not (cfg.use_pallas_shade and cfg.use_pallas
                 and cfg.aov == "beauty" and cfg.accel in ("packet", "tlas")
@@ -428,7 +430,32 @@ class Renderer:
             return
         from tracy_tpu.render.material import scene_has_textures
 
+        num_m = int(np.asarray(scene.materials.albedo).shape[0])
+        seed = cfg.seed
+        rr = cfg.russian_roulette
+
         if scene_has_textures(scene):
+            from tracy_tpu.ops.pallas_shade import (
+                build_material_table_tex, shade_packets_textured,
+            )
+            from tracy_tpu.ops.pallas_texfetch import build_texture_pages
+
+            pages = build_texture_pages(scene)
+            if pages is None:
+                return  # page layout not applicable: XLA shading path
+            mtab = build_material_table_tex(scene.materials, pages)
+            if mtab is None:
+                return
+
+            def shade_fn(o, d, thr, rad, alive, pix, hmask, t, normal,
+                         tangent, uv, mat, skey, bounce):
+                return shade_packets_textured(
+                    o, d, thr, rad, alive, pix, hmask, t, normal, tangent,
+                    uv, mat, mtab, pages, skey, bounce, num_materials=num_m,
+                    seed=seed, russian_roulette=rr,
+                )
+
+            self._shade_fn = shade_fn
             return
         from tracy_tpu.ops.pallas_shade import (
             build_material_table, shade_packets,
@@ -437,12 +464,9 @@ class Renderer:
         mtab = build_material_table(scene.materials)
         if mtab is None:
             return
-        num_m = int(np.asarray(scene.materials.albedo).shape[0])
-        seed = cfg.seed
-        rr = cfg.russian_roulette
 
-        def shade_fn(o, d, thr, rad, alive, pix, hmask, t, normal, mat,
-                     skey, bounce):
+        def shade_fn(o, d, thr, rad, alive, pix, hmask, t, normal, tangent,
+                     uv, mat, skey, bounce):
             return shade_packets(
                 o, d, thr, rad, alive, pix, hmask, t, normal, mat, mtab,
                 skey, bounce, num_materials=num_m, seed=seed,
