@@ -203,6 +203,10 @@ def main():
         use_pallas_shade=os.environ.get("TRACY_BENCH_SHADE", "0") == "1",
         use_pallas_bounce=os.environ.get("TRACY_BENCH_BOUNCE", "0") == "1",
         pallas_bvh_width=int(os.environ.get("TRACY_BENCH_BVHW", 2)),
+        # bf16-pair-packed Woop rows: per-leaf-visit DMA 24 -> 16 rows
+        # (lossy ~0.2% t/u/v; statistical-parity only — keep off for
+        # bit-exact runs).
+        pallas_woop_bf16=os.environ.get("TRACY_BENCH_WOOPBF16", "0") == "1",
     )
     r = Renderer(cfg)
     state = init_state(cfg)

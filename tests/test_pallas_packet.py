@@ -453,3 +453,73 @@ def test_pallas_bvh_width4(mode):
                                   np.asarray(a4.normal)[m])
     np.testing.assert_array_equal(np.asarray(a2.material)[m],
                                   np.asarray(a4.material)[m])
+
+
+def test_pallas_woop_bf16():
+    """bf16-pair-packed Woop rows (tab rows 24 -> 16, the per-leaf-visit
+    DMA row count = the measured cost lever, NOTES.md session P).
+
+    Two checks:
+    1. EXACT: the packed kernel must equal the f32 kernel run on tables
+       whose Woop rows are the bf16-quantized coefficients unpacked back
+       to f32 on the host — the in-kernel hi/lo bitcast unpack is a pure
+       relayout, all MT math downstream is identical.
+    2. STATISTICAL vs the true f32 path: quantization moves t/u/v by
+       ~0.2% and can flip boundary rays; hit masks must agree on >98% of
+       rays and agreeing hits must match t to 1% relative.
+    """
+    import dataclasses as dc
+
+    from tracy_tpu.ops.pallas_packet import (
+        WOOP_ROWS, build_tables, pallas_intersect,
+    )
+
+    b = default_scene(32, 24)
+    tex = b.add_texture(np.full((4, 4, 4), 0.5, np.float32))
+    b.set_material_texture(1, 0, tex)
+    scene = b.build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+
+    tp = build_tables(scene, bvh, with_tangent=False, pack_woop=True)
+    assert tp.woop_bf16 and tp.woop_rows == 8
+    tf = build_tables(scene, bvh, with_tangent=False, pack_woop=False)
+    assert tf.tab.shape[0] - tp.tab.shape[0] == 8
+
+    # Host-side unpack oracle: expand the 6 packed rows to 12 f32 rows
+    # (hi = top 16 bits, lo = bottom 16 shifted up), repad to 16.
+    packed = np.asarray(tp.tab[:8]).view(np.uint32)
+    rows = []
+    for k in range(12):
+        bits = packed[k // 2]
+        bits = (bits & 0xFFFF0000) if k % 2 == 0 else (bits << 16)
+        rows.append(bits.view(np.float32))
+    rows += [np.zeros_like(rows[0])] * (WOOP_ROWS - 12)
+    tab_oracle = np.concatenate(
+        [np.stack(rows), np.asarray(tp.tab[8:])], axis=0)
+    t_oracle = dc.replace(tf, tab=jnp.asarray(tab_oracle))
+
+    o, d = _rays_for(scene, 3072, seed=23)
+    act = jnp.ones(3072, bool).at[1024:2048].set(False)
+    kw = dict(stack_depth=64, interpret=True, rb_mode="fused")
+    hp, ap = pallas_intersect(o, d, act, tp, **kw)
+    ho, ao = pallas_intersect(o, d, act, t_oracle, **kw)
+    hf, af = pallas_intersect(o, d, act, tf, **kw)
+
+    np.testing.assert_array_equal(np.asarray(hp.mask), np.asarray(ho.mask))
+    np.testing.assert_array_equal(np.asarray(hp.t), np.asarray(ho.t))
+    np.testing.assert_array_equal(np.asarray(ap.normal),
+                                  np.asarray(ao.normal))
+    np.testing.assert_array_equal(np.asarray(ap.material),
+                                  np.asarray(ao.material))
+
+    mp, mf = np.asarray(hp.mask), np.asarray(hf.mask)
+    agree = mp == mf
+    assert agree.mean() > 0.98
+    both = mp & mf & agree
+    tP, tF = np.asarray(hp.t)[both], np.asarray(hf.t)[both]
+    # A silhouette ray can slip between quantized triangles and win a
+    # different (farther) surface — allow a small fraction of winner
+    # changes; everything else must match t to 1% relative.
+    close = np.isclose(tP, tF, rtol=1e-2, atol=1e-3)
+    assert close.mean() > 0.98
+    np.testing.assert_allclose(tP[close], tF[close], rtol=1e-2, atol=1e-3)

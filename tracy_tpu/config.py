@@ -144,6 +144,14 @@ class RenderConfig:
     # pop. Results identical (same closest-hit minima).
     pallas_bvh_width: int = 2
 
+    # bf16-pair-pack the Woop triangle-transform rows of the fused table
+    # (12 -> 6, pad8 -> 8): the per-leaf-visit DMA drops from 24 to 16
+    # rows — the measured per-visit cost lever (NOTES.md session P).
+    # LOSSY: ~0.2% coefficient error moves intersection t/u/v, so renders
+    # are statistically (not bit-) identical to the f32 path. Opt-in
+    # speed mode; ignored by the XLA/differentiable intersectors.
+    pallas_woop_bf16: bool = False
+
     # Software-pipelined leaf processing in the Pallas packet kernel:
     # a leaf's chunk DMA is started at DISCOVERY and its MT test runs when
     # the NEXT leaf is found (or at traversal end), overlapping the DMA

@@ -149,20 +149,33 @@ class PallasSceneTables:
     # pure permute and preserves bits).
     packed: bool = True
     width: int = 2  # traversal branching factor (2 or 4)
+    # bf16-pair packing of the WOOP rows themselves (12 -> 6, pad8 -> 8):
+    # shrinks the per-leaf-visit DMA from 24 to 16 rows — the measured
+    # cost lever (session P: per-visit cost tracks DMA row count, 16-row
+    # noreadback 66us/packet vs 24-row 232us). LOSSY: intersection t/u/v
+    # carry ~0.2% bf16 coefficient error, so this is an opt-in speed mode
+    # (cfg.pallas_woop_bf16) validated by statistical image parity, NOT
+    # bit-identity.
+    woop_bf16: bool = False
 
     def tree_flatten(self):
         return (
             (self.node_bounds, self.node_meta, self.tab, self.slot_tri,
              self.node4_bounds, self.node4_meta),
-            (self.has_uv, self.has_tangent, self.packed, self.width),
+            (self.has_uv, self.has_tangent, self.packed, self.width,
+             self.woop_bf16),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (nb, nm, tab, slot_tri, n4b, n4m) = children
-        (has_uv, has_tangent, packed, width) = aux
+        (has_uv, has_tangent, packed, width, woop_bf16) = aux
         return cls(nb, nm, tab, slot_tri, n4b, n4m,
-                   has_uv, has_tangent, packed, width)
+                   has_uv, has_tangent, packed, width, woop_bf16)
+
+    @property
+    def woop_rows(self) -> int:
+        return 8 if self.woop_bf16 else WOOP_ROWS
 
     @property
     def with_tangent(self) -> bool:
@@ -229,7 +242,8 @@ def _collapse4(nb: np.ndarray, meta: np.ndarray):
 
 
 def build_tables(scene, bvh: PackedBVH, with_tangent: bool,
-                 pack_pairs: bool = True, width: int = 2) -> PallasSceneTables:
+                 pack_pairs: bool = True, width: int = 2,
+                 pack_woop: bool = False) -> PallasSceneTables:
     """Host-side packing of slot-ordered scene data into kernel planes.
 
     Leaves are REALIGNED: every leaf gets its own 128-slot chunk (partial
@@ -310,11 +324,11 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool,
     R = np.linalg.inv(B_safe)
     R = np.where(ok_tri[:, None, None], R, 0.0)
     bvec = -np.einsum("sij,sj->si", R, p0)
-    woop = np.stack([
-        plane(R[:, 0, 0]), plane(R[:, 0, 1]), plane(R[:, 0, 2]), plane(bvec[:, 0]),
-        plane(R[:, 1, 0]), plane(R[:, 1, 1]), plane(R[:, 1, 2]), plane(bvec[:, 1]),
-        plane(R[:, 2, 0]), plane(R[:, 2, 1]), plane(R[:, 2, 2]), plane(bvec[:, 2]),
-    ])
+    woop_vals = [
+        R[:, 0, 0], R[:, 0, 1], R[:, 0, 2], bvec[:, 0],
+        R[:, 1, 0], R[:, 1, 1], R[:, 1, 2], bvec[:, 1],
+        R[:, 2, 0], R[:, 2, 1], R[:, 2, 2], bvec[:, 2],
+    ]
 
     n0, n1, n2 = nrm[idx[:, 0]], nrm[idx[:, 1]], nrm[idx[:, 2]]
     u0, u1, u2 = uv[idx[:, 0]], uv[idx[:, 1]], uv[idx[:, 2]]
@@ -383,8 +397,12 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool,
             )
         return arr
 
+    # pack_woop: bf16-pair the 12 Woop rows -> 6 (pad8 -> 8), halving the
+    # per-visit DMA's traversal half (lossy; see PallasSceneTables).
+    woop = np.stack(pack_rows(woop_vals) if pack_woop
+                    else [plane(v) for v in woop_vals])
     woop = pad8(woop)
-    assert woop.shape[0] == WOOP_ROWS
+    assert woop.shape[0] == (8 if pack_woop else WOOP_ROWS)
     attrs = pad8(attrs)
     tab = np.concatenate([woop, attrs], axis=0)
 
@@ -407,6 +425,7 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool,
         has_uv=has_uv,
         has_tangent=with_tangent,
         packed=pack_pairs,
+        woop_bf16=pack_woop,
         width=width,
     )
 
@@ -417,7 +436,7 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
             num_out: int, packets_per_step: int, rb_window: int,
             rb_prefetch: bool, rb_gather: str, rb_packed: bool,
             rb_mode: str, leaf_pipeline: bool = False,
-            bvh_width: int = 2,
+            bvh_width: int = 2, woop_bf16: bool = False,
             shade: dict = None, sc_ref=None, mtab_ref=None):
     """One grid step = `packets_per_step` packets, unrolled with STATIC
     packet indices. Round 1 looped packets with fori and indexed
@@ -450,7 +469,8 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
                              rb_prefetch=rb_prefetch, rb_gather=rb_gather,
                              rb_packed=rb_packed, rb_mode=rb_mode,
                              leaf_pipeline=leaf_pipeline,
-                             bvh_width=bvh_width, shade=shade,
+                             bvh_width=bvh_width, woop_bf16=woop_bf16,
+                             shade=shade,
                              shade_keys=(sample_key, bounce),
                              mtab_ref=mtab_ref)
 
@@ -469,7 +489,8 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
                          num_out=num_out, rb_window=rb_window,
                          rb_prefetch=rb_prefetch, rb_gather=rb_gather,
                          rb_packed=rb_packed, rb_mode=rb_mode,
-                         leaf_pipeline=leaf_pipeline, bvh_width=bvh_width)
+                         leaf_pipeline=leaf_pipeline, bvh_width=bvh_width,
+                         woop_bf16=woop_bf16)
             continue
         # Dead-packet fast path: per-wave compaction leaves late waves
         # mostly dead packets, and the full body's plumbing floor (ray
@@ -486,7 +507,8 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
                          num_out=num_out, rb_window=rb_window,
                          rb_prefetch=rb_prefetch, rb_gather=rb_gather,
                          rb_packed=rb_packed, rb_mode=rb_mode,
-                         leaf_pipeline=leaf_pipeline, bvh_width=bvh_width)
+                         leaf_pipeline=leaf_pipeline, bvh_width=bvh_width,
+                         woop_bf16=woop_bf16)
 
         @pl.when(jnp.logical_not(any_live))
         def _(pkt=pkt):
@@ -504,9 +526,11 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                  num_out: int, rb_window: int, rb_prefetch: bool,
                  rb_gather: str, rb_packed: bool, rb_mode: str,
                  leaf_pipeline: bool = False, bvh_width: int = 2,
-                 shade: dict = None,
+                 woop_bf16: bool = False, shade: dict = None,
                  shade_keys=None, mtab_ref=None):
     from tracy_tpu.ops import pallas_shade as _ps
+
+    woop_rows = 8 if woop_bf16 else WOOP_ROWS
 
     # Per-plane reads (a whole-block read would materialize all 7 planes
     # into vregs before the dead-packet branch could skip them).
@@ -683,16 +707,27 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                 return w_s[pl.ds(wrow + k, 1), :].reshape(LEAF, 1)
 
             def attr_buf():
-                return w_s[pl.ds(wrow + WOOP_ROWS, ROWS_W - WOOP_ROWS), :]
+                return w_s[pl.ds(wrow + woop_rows, ROWS_W - woop_rows), :]
         else:
             def wr(k):
                 return w_s[k, :].reshape(LEAF, 1)
 
             def attr_buf():
-                return w_s[WOOP_ROWS:, :]
+                return w_s[woop_rows:, :]
 
         # Woop coefficient windows as [LEAF, 1] for the pair grid.
-        W = [wr(k) for k in range(12)]
+        if woop_bf16:
+            # Packed table: coefficient k lives in the hi (even k) / lo
+            # (odd k) bf16 half of row k//2 (build_tables::pack_rows).
+            def wcol(k):
+                bits = jax.lax.bitcast_convert_type(wr(k // 2), jnp.uint32)
+                bits = (bits & jnp.uint32(0xFFFF0000)) if k % 2 == 0 \
+                    else (bits << 16)
+                return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+            W = [wcol(k) for k in range(12)]
+        else:
+            W = [wr(k) for k in range(12)]
 
         mt_comps = ()
         if rb_mode == "mt" and "noreadback" not in _ABLATE:
@@ -706,7 +741,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
             # one-hot masks the loop already builds for a few FMAs and
             # one extra sublane reduction per attribute component.
             def acol(k):  # attr row k as a [LEAF, 1] column
-                return wr(WOOP_ROWS + k)
+                return wr(woop_rows + k)
 
             mat_row = 6 if has_uv else 0
             n_base = mat_row + 1
@@ -932,8 +967,8 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
         # covers the whole fused table (fused/mt results then read
         # stale attr rows — timing bisection of the DMA row count).
         if not leaf_pipeline:
-            rows_dma = (WOOP_ROWS if "dma16" in _ABLATE and
-                        w_s.shape[0] > WOOP_ROWS else w_s.shape[0])
+            rows_dma = (woop_rows if "dma16" in _ABLATE and
+                        w_s.shape[0] > woop_rows else w_s.shape[0])
             dst = (w_s if rows_dma == w_s.shape[0]
                    else w_s.at[pl.ds(0, rows_dma), :])
             cp_w = pltpu.make_async_copy(
@@ -1207,7 +1242,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                 dst = (a_s.at[:, pl.ds(0, WW)]
                        if rb_mode in ("arena", "vlist") else a_s)
                 cp_a = pltpu.make_async_copy(
-                    tab_ref.at[pl.ds(WOOP_ROWS, a_s.shape[0]), pl.ds(win_base, WW)], dst, dma_sems.at[1])
+                    tab_ref.at[pl.ds(woop_rows, a_s.shape[0]), pl.ds(win_base, WW)], dst, dma_sems.at[1])
                 if "nodma2" not in _ABLATE:
                     cp_a.start()
                     cp_a.wait()
@@ -1235,7 +1270,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                     return carry
                 base = pl.multiple_of(rbl_ref[i + 2], LEAF)
                 cp_a = pltpu.make_async_copy(
-                    tab_ref.at[pl.ds(WOOP_ROWS, a_s.shape[0]), pl.ds(base, LEAF)], a_s, dma_sems.at[1])
+                    tab_ref.at[pl.ds(woop_rows, a_s.shape[0]), pl.ds(base, LEAF)], a_s, dma_sems.at[1])
                 if "nodma2" not in _ABLATE:
                     cp_a.start()
                     cp_a.wait()
@@ -1279,7 +1314,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                 def cp(i):
                     base = pl.multiple_of(rbl_ref[i + 2], LEAF)
                     return pltpu.make_async_copy(
-                        tab_ref.at[pl.ds(WOOP_ROWS, a_s.shape[0]), pl.ds(base, LEAF)],
+                        tab_ref.at[pl.ds(woop_rows, a_s.shape[0]), pl.ds(base, LEAF)],
                         a_s.at[:, pl.ds((i - b0) * LEAF, LEAF)],
                         dma_sems.at[1])
 
@@ -1337,7 +1372,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                 def cp(i):
                     base = pl.multiple_of(rbl_ref[i + 2], LEAF)
                     return pltpu.make_async_copy(
-                        tab_ref.at[pl.ds(WOOP_ROWS, a_s.shape[0]),
+                        tab_ref.at[pl.ds(woop_rows, a_s.shape[0]),
                                    pl.ds(base, LEAF)],
                         a_s.at[:, pl.ds((i - b0) * LEAF, LEAF)],
                         dma_sems.at[1])
@@ -1402,7 +1437,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                 wbA, selA, gixA = win_of(cur)
                 uA, vA = acc_ref[2], acc_ref[3]
                 cpA = pltpu.make_async_copy(
-                    tab_ref.at[pl.ds(WOOP_ROWS, a_s.shape[0]), pl.ds(wbA, WW)], a_s, dma_sems.at[1])
+                    tab_ref.at[pl.ds(woop_rows, a_s.shape[0]), pl.ds(wbA, WW)], a_s, dma_sems.at[1])
                 cpA.start()
                 acc_ref[0] = jnp.where(selA, jnp.float32(-2.0), acc_ref[0])
                 nxt = next_chunk()
@@ -1411,7 +1446,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                 selB = selB & has_b
                 uB, vB = acc_ref[2], acc_ref[3]
                 cpB = pltpu.make_async_copy(
-                    tab_ref.at[pl.ds(WOOP_ROWS, a_s.shape[0]), pl.ds(wbB, WW)], a_s2, dma_sems.at[2])
+                    tab_ref.at[pl.ds(woop_rows, a_s.shape[0]), pl.ds(wbB, WW)], a_s2, dma_sems.at[2])
 
                 @pl.when(has_b)
                 def _():
@@ -1514,6 +1549,7 @@ def pallas_intersect(
         rb_prefetch=rb_prefetch, rb_gather=rb_gather,
         rb_packed=tables.packed, rb_mode=rb_mode,
         leaf_pipeline=leaf_pipeline, bvh_width=tables.width,
+        woop_bf16=tables.woop_bf16,
     )
 
     def kernel_wrap(nb, nm, n4b, n4m, tab, rays_blk, out_blk,
@@ -1521,11 +1557,12 @@ def pallas_intersect(
         kernel(nb, nm, n4b, n4m, tab, rays_blk, out_blk,
                stack, w_s, a_s, a_s2, acc, rbl, sems)
 
-    attr_rows = tables.tab.shape[0] - WOOP_ROWS
+    attr_rows = tables.tab.shape[0] - tables.woop_rows
     # 'fused'/'mt' DMA the whole fused-table chunk into w_s (one copy, one
     # wait per leaf visit); the phase-2 modes copy only the woop rows and
     # window attribute rows into a_s during phase 2.
-    w_rows = tables.tab.shape[0] if rb_mode in ("fused", "mt") else WOOP_ROWS
+    w_rows = (tables.tab.shape[0] if rb_mode in ("fused", "mt")
+              else tables.woop_rows)
     if leaf_pipeline:
         w_rows *= 2  # double-buffered pending/current leaf chunks
 
@@ -1666,9 +1703,10 @@ def pallas_trace_bounce(
                 rb_prefetch=False, rb_gather="take",
                 rb_packed=tables.packed, rb_mode="fused",
                 leaf_pipeline=leaf_pipeline, bvh_width=tables.width,
+                woop_bf16=tables.woop_bf16,
                 shade=shade, sc_ref=sc_r, mtab_ref=mtab_r)
 
-    attr_rows = tables.tab.shape[0] - WOOP_ROWS
+    attr_rows = tables.tab.shape[0] - tables.woop_rows
     w_rows = tables.tab.shape[0] * (2 if leaf_pipeline else 1)
     out_planes = _ps.STATE_PLANES - 1
 
@@ -1770,12 +1808,13 @@ def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,
                             rb_gather: str = "take",
                             rb_mode: str = "minloop",
                             leaf_pipeline: bool = False,
-                            width: int = 2):
+                            width: int = 2, pack_woop: bool = False):
     """Rich IntersectFn backed by the Pallas kernel, or None if the scene
     doesn't fit the VMEM budget. The returned function carries its
     PallasSceneTables as `.tables` (slot_tri maps winner slots to tris)."""
     tables = build_tables(scene, bvh, with_tangent,
-                          pack_pairs=(rb_gather != "onehot"), width=width)
+                          pack_pairs=(rb_gather != "onehot"), width=width,
+                          pack_woop=pack_woop)
     if tables.vmem_bytes > vmem_limit_bytes:
         return None
 

@@ -315,6 +315,7 @@ class Renderer:
                     scene, bvh, with_tangent,
                     pack_pairs=(self.cfg.pallas_rb_gather != "onehot"),
                     width=self.cfg.pallas_bvh_width,
+                    pack_woop=self.cfg.pallas_woop_bf16,
                 )
                 if cand.vmem_bytes <= 8 * 1024 * 1024:  # node tables (VMEM)
                     tables = cand
