@@ -258,7 +258,8 @@ def main():
 
         visits_per_ray = float(os.environ.get("TRACY_SOL_VISITS_PER_RAY",
                                               "0.8"))
-        dma_rows = int(os.environ.get("TRACY_SOL_DMA_ROWS", "24"))
+        dma_rows = int(os.environ.get(
+            "TRACY_SOL_DMA_ROWS", "16" if cfg.pallas_woop_bf16 else "24"))
         hbm = packet_hbm_bound(1024, dma_rows,
                                visits_per_ray * 1024) / 1e6
         print(f"[bench] HBM speed-of-light ~{hbm:.1f} MRays/s "

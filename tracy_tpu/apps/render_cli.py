@@ -65,6 +65,13 @@ def main(argv=None):
     p.add_argument("-cpu", action="store_true", help="force the CPU backend")
     p.add_argument("-mesh", default=None,
                    help="multi-chip mesh as DATAxSAMPLE, e.g. 4x2")
+    p.add_argument("-checkpoint", default=None,
+                   help="checkpoint npz path: auto-resume if it exists, "
+                        "auto-save every -checkpoint-every frames (crash "
+                        "recovery; resume is bit-identical and works across "
+                        "mesh shapes)")
+    p.add_argument("-checkpoint-every", type=int, default=8,
+                   help="frames between checkpoint saves (with -checkpoint)")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -159,11 +166,12 @@ def main(argv=None):
         mesh = make_render_mesh(nd, ns)
         step = make_sharded_render_step(cfg, mesh)
         scene = replicate_scene(scene, mesh)
-        state = init_state(cfg)
+        state, start = _resume_or_init(args, cfg, mesh=mesh)
         total_rays, t0 = 0.0, time.perf_counter()
-        for _ in range(args.frames):
+        for f in range(start, args.frames):
             state, rays = step(scene, state)
             total_rays += float(rays)
+            _maybe_checkpoint(args, state, f)
         jax.block_until_ready(state.accum)
         dt = time.perf_counter() - t0
         from tracy_tpu.render import film
@@ -175,10 +183,11 @@ def main(argv=None):
         return 0
 
     r = Renderer(cfg)
-    state = init_state(cfg)
+    state, start = _resume_or_init(args, cfg)
     last_report = time.perf_counter()
-    for f in range(args.frames):
+    for f in range(start, args.frames):
         state, _rays = r.step(scene, state)
+        _maybe_checkpoint(args, state, f)
         now = time.perf_counter()
         if now - last_report > 1.0 or f == args.frames - 1:
             # Reference window-title telemetry (win_raytracer.cpp:521-553).
@@ -191,6 +200,32 @@ def main(argv=None):
         % (r.mrays_per_sec, args.frames / max(r.timer.total, 1e-9), r.timer.total))
     _save(r.display_u8(state), args.out)
     return 0
+
+
+def _resume_or_init(args, cfg, mesh=None):
+    """(state, start_frame): resume from -checkpoint if the file exists
+    (any mesh shape — checkpoints are elastic), else a fresh state."""
+    import os
+
+    from tracy_tpu.render.renderer import init_state
+    from tracy_tpu.utils.log import log
+
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        from tracy_tpu.utils.checkpoint import load_render_state
+
+        state = load_render_state(args.checkpoint, mesh=mesh)
+        start = int(np.asarray(state.frame))
+        log(f"resumed {args.checkpoint} at frame {start}")
+        return state, start
+    return init_state(cfg), 0
+
+
+def _maybe_checkpoint(args, state, frame_idx: int):
+    if args.checkpoint and args.checkpoint_every > 0 and (
+            (frame_idx + 1) % args.checkpoint_every == 0):
+        from tracy_tpu.utils.checkpoint import save_render_state
+
+        save_render_state(args.checkpoint, state)
 
 
 def _save(img: np.ndarray, path: str):
