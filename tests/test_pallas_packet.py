@@ -455,9 +455,14 @@ def test_pallas_bvh_width4(mode):
                                   np.asarray(a4.material)[m])
 
 
-def test_pallas_woop_bf16():
+@pytest.mark.parametrize("mode", ["fused", "vlist"])
+def test_pallas_woop_bf16(mode):
     """bf16-pair-packed Woop rows (tab rows 24 -> 16, the per-leaf-visit
     DMA row count = the measured cost lever, NOTES.md session P).
+
+    'vlist' + pack_woop is the minimum-DMA config: traversal copies ONLY
+    the 8 packed woop rows per leaf visit (fused copies the whole 16-row
+    table); attributes come in phase 2's batched chunk DMAs.
 
     Two checks:
     1. EXACT: the packed kernel must equal the f32 kernel run on tables
@@ -500,7 +505,7 @@ def test_pallas_woop_bf16():
 
     o, d = _rays_for(scene, 3072, seed=23)
     act = jnp.ones(3072, bool).at[1024:2048].set(False)
-    kw = dict(stack_depth=64, interpret=True, rb_mode="fused")
+    kw = dict(stack_depth=64, interpret=True, rb_mode=mode)
     hp, ap = pallas_intersect(o, d, act, tp, **kw)
     ho, ao = pallas_intersect(o, d, act, t_oracle, **kw)
     hf, af = pallas_intersect(o, d, act, tf, **kw)
