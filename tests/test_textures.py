@@ -49,6 +49,55 @@ def test_repeat_wrap():
     np.testing.assert_allclose(out[3], [0, 1, 0, 1])  # frac(2.75)=0.75
 
 
+def test_bilinear_matches_gl_semantics():
+    """sample_bilinear = the raster preview's GL_LINEAR filter
+    (opengl_render.cpp:476-480): texel centers at half-integers, 2x2
+    footprint, REPEAT wrap. At texel centers it equals nearest; between
+    centers it interpolates; across the u=0 seam it wraps."""
+    from tracy_tpu.render.texture import sample_bilinear
+
+    img = np.zeros((2, 2, 4), np.float32)
+    img[0, 0] = [1, 0, 0, 1]
+    img[0, 1] = [0, 1, 0, 1]
+    img[1, 0] = [0, 0, 1, 1]
+    img[1, 1] = [1, 1, 0, 1]
+    data, table, tid = _atlas_with(img)
+
+    # Texel centers: bilinear == nearest exactly.
+    centers = jnp.asarray(
+        [[0.25, 0.75], [0.75, 0.75], [0.25, 0.25], [0.75, 0.25]])
+    tids = jnp.full((4,), tid, jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(sample_bilinear(data, table, tids, centers)),
+        np.asarray(sample_nearest(data, table, tids, centers)),
+        atol=1e-6,
+    )
+
+    # Midpoint of the top row: average of the two top texels.
+    mid = np.asarray(sample_bilinear(
+        data, table, tids[:1], jnp.asarray([[0.5, 0.75]])))[0]
+    np.testing.assert_allclose(mid, [0.5, 0.5, 0, 1], atol=1e-6)
+
+    # Center of the texture: average of all four.
+    c = np.asarray(sample_bilinear(
+        data, table, tids[:1], jnp.asarray([[0.5, 0.5]])))[0]
+    np.testing.assert_allclose(c, [0.5, 0.5, 0.25, 1], atol=1e-6)
+
+    # u=0 on the top row: REPEAT wrap blends texel 1 and texel 0 equally.
+    seam = np.asarray(sample_bilinear(
+        data, table, tids[:1], jnp.asarray([[0.0, 0.75]])))[0]
+    np.testing.assert_allclose(seam, [0.5, 0.5, 0, 1], atol=1e-6)
+
+    # Constant texture: bilinear is exactly constant everywhere.
+    flat = np.full((3, 5, 4), 0.3, np.float32)
+    data2, table2, tid2 = _atlas_with(flat)
+    uv = jnp.asarray(np.random.default_rng(0).uniform(-2, 2, (64, 2)),
+                     jnp.float32)
+    out = np.asarray(sample_bilinear(
+        data2, table2, jnp.full((64,), tid2, jnp.int32), uv))
+    np.testing.assert_allclose(out, 0.3, atol=1e-6)
+
+
 def test_atlas_multiple_sizes():
     atlas = TextureAtlas()
     a = atlas.add(np.full((2, 3, 4), 0.25, np.float32))

@@ -278,6 +278,7 @@ def _render_raster_jit(scene: SceneArrays, cfg: RenderConfig, tri_chunk: int,
         params = gather_surface_params(
             scene, mat_id, interp(scene.vertex_uv)[:, :2],
             interp(scene.vertex_normal), interp(scene.vertex_tangent),
+            tex_filter="bilinear",
         )
         diffuse = params.basecolor * (1.0 - params.metalness[:, None])
         color = diffuse / jnp.pi + params.emissive

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from tracy_tpu.core import math as tm
-from tracy_tpu.render.texture import sample_nearest
+from tracy_tpu.render.texture import sample_bilinear, sample_nearest
 from tracy_tpu.scene.scene import (
     TEX_BASECOLOR,
     TEX_EMISSIVE,
@@ -112,13 +112,18 @@ def scene_has_textures(scene) -> bool:
     return scene.tex_data.shape[0] > 1
 
 
-def gather_surface_params(scene, mat_id, uv, shading_normal, tangent) -> SurfaceParams:
+def gather_surface_params(scene, mat_id, uv, shading_normal, tangent,
+                          tex_filter: str = "nearest") -> SurfaceParams:
     """Textured parameter getters (material.h:164-203), vectorized.
 
     mat_id: [N] int32; uv: [N,2]; shading_normal/tangent: [N,3] interpolated
     (tangent intentionally unnormalized — reference quirk). Material table
     rows come from a one-hot contraction (gather-free); texture fetches only
     exist in the graph when the scene actually has textures (static check).
+
+    tex_filter: 'nearest' for the path tracers (Texture::GetPixel,
+    texture.h:50-57); 'bilinear' for the raster preview (the GL kernel's
+    GL_LINEAR filter, opengl_render.cpp:476-480).
     """
     albedo, rough, metal, ior, emis, transl, tex = material_table_lookup(
         scene.materials, mat_id
@@ -135,9 +140,11 @@ def gather_surface_params(scene, mat_id, uv, shading_normal, tangent) -> Surface
             normal=shading_normal,
         )
 
+    sampler = sample_bilinear if tex_filter == "bilinear" else sample_nearest
+
     def fetch(slot):
         tid = tex[..., slot]
-        rgba = sample_nearest(scene.tex_data, scene.tex_table, tid, uv)
+        rgba = sampler(scene.tex_data, scene.tex_table, tid, uv)
         return tid >= 0, rgba
 
     has_bc, bc = fetch(TEX_BASECOLOR)
