@@ -189,6 +189,9 @@ def main():
         # 2.07/2.22/2.25/2.07 MRays/s.
         wave_compact_group=int(os.environ.get(
             "TRACY_BENCH_COMPACT", 0 if on_cpu else 262144)),
+        # Bounce-0 compaction peel (bit-identical; saves 2 routings/sample).
+        wave_compact_skip_first=os.environ.get(
+            "TRACY_BENCH_SKIP1", "1") == "1",
         pallas_rb_window=int(os.environ.get("TRACY_BENCH_RBW", 1)),
         pallas_rb_prefetch=os.environ.get("TRACY_BENCH_RBP", "0") == "1",
         pallas_rb_gather=os.environ.get("TRACY_BENCH_RBG", "take"),

@@ -94,15 +94,22 @@ def test_render_equal_with_compaction(scn, reference_data_root):
     scene = b.build()
 
     imgs = {}
-    for grp in (0, 2048):
+    for grp, skip1 in ((0, True), (2048, True), (2048, False)):
         cfg = RenderConfig(width=64, height=64, spp=1, max_bounces=4,
-                           accel="packet", wave_compact_group=grp)
+                           accel="packet", wave_compact_group=grp,
+                           wave_compact_skip_first=skip1)
         r = Renderer(cfg)
         state = init_state(cfg)
         for _ in range(2):
             state, _ = r.step(scene, state)
-        imgs[grp] = np.asarray(state.accum)
+        imgs[grp, skip1] = np.asarray(state.accum)
+
+    # The bounce-0 peel must be EXACTLY the compacted render: the primary
+    # wave is all-live, so its compaction routing is an identity
+    # permutation — peeling it changes nothing but the op count.
+    np.testing.assert_array_equal(imgs[2048, True], imgs[2048, False])
 
     # identical physics; tiny tolerance for closest-hit ties between
     # equal-t triangles where packet composition may pick either winner.
-    np.testing.assert_allclose(imgs[2048], imgs[0], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(imgs[2048, True], imgs[0, True],
+                               rtol=1e-5, atol=1e-5)

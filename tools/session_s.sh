@@ -21,6 +21,7 @@
 cd /root/repo
 exec bash tools/tpu_session.sh logs/r3_session_s.log \
  "TRACY_BENCH_RBM=fused TRACY_BENCH_COMPACT=262144 python bench.py" \
+ "TRACY_BENCH_RBM=fused TRACY_BENCH_COMPACT=262144 TRACY_BENCH_SKIP1=0 python bench.py" \
  "TRACY_BENCH_RBM=fused TRACY_BENCH_COMPACT=262144 TRACY_BENCH_WOOPBF16=1 python bench.py" \
  "TRACY_BENCH_RBM=vlist TRACY_BENCH_COMPACT=262144 TRACY_BENCH_WOOPBF16=1 python bench.py" \
  "TRACY_BENCH_RBM=fused TRACY_BENCH_COMPACT=262144 TRACY_BENCH_SHADE=1 python bench.py" \

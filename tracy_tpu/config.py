@@ -128,6 +128,11 @@ class RenderConfig:
     # so late waves hit few dense packets instead of many sparse ones.
     # Applies to the rich packet intersectors (accel='packet'/'tlas').
     wave_compact_group: int = 0
+    # Peel bounce 0 out of the compacted bounce scan: the primary wave is
+    # all-live, so its butterfly routing is an identity permutation — pure
+    # overhead (2 full routings/sample). Bit-identical by construction;
+    # only meaningful when wave_compact_group > 0.
+    wave_compact_skip_first: bool = True
 
     # Pallas kernels (TPU only; automatic XLA fallback when the scene doesn't
     # fit the kernel's VMEM budget or the backend is CPU).

@@ -79,12 +79,13 @@ def _check_divisible(cfg: RenderConfig, mesh: Mesh):
 
 
 def make_sharded_render_step(cfg: RenderConfig, mesh: Mesh, intersect_fn=None,
-                             shade_fn=None):
+                             shade_fn=None, first_intersect_fn=None):
     """jitted (scene, state) -> (state', rays) with rows sharded over 'data'
     and spp over 'sample'. Bit-identical to the single-chip render.
     shade_fn: optional on-core shading stage (ops/pallas_shade.py) — runs
     per shard; bit-identical to the XLA shading, so sharded == single-chip
-    still holds."""
+    still holds. first_intersect_fn: optional uncompacted bounce-0
+    intersector (the wave_compact_skip_first peel, see trace_paths)."""
     nd, ns = _check_divisible(cfg, mesh)
     rows_per = cfg.height // nd
     spp_per = cfg.spp // ns
@@ -105,6 +106,7 @@ def make_sharded_render_step(cfg: RenderConfig, mesh: Mesh, intersect_fn=None,
             frame,
             intersect_fn,
             shade_fn=shade_fn,
+            first_intersect_fn=first_intersect_fn,
             row_offset=di * rows_per,
             num_rows=rows_per,
             spp_offset=si * spp_per,

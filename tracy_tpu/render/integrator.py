@@ -131,6 +131,12 @@ def trace_paths(
     # in one kernel, ops/pallas_packet.pallas_trace_bounce, possibly
     # compaction-wrapped): (o, d, thr, rad, alive, pix, skey, bounce) ->
     # next (o, d, thr, rad, alive). Supersedes intersect_fn + shade_fn.
+    first_intersect_fn=None,  # optional UNcompacted intersector for bounce
+    # 0: the primary wave is all-live (modulo tile-padding rows), so the
+    # compaction wrapper's butterfly routing is an identity permutation —
+    # pure overhead. When given, bounce 0 is peeled out of the scan and
+    # runs through this fn instead; bit-identical by construction.
+    first_bounce_fn=None,  # same peel for the fused-bounce path.
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Trace N paths; returns (radiance [N, 3], ray_count scalar)."""
     n = origin.shape[0]
@@ -148,7 +154,8 @@ def trace_paths(
         ray_count=jnp.zeros((), dtype=jnp.int32),
     )
 
-    def bounce_step(state: PathState, bounce) -> Tuple[PathState, None]:
+    def make_bounce_step(intersect_fn, bounce_fn):
+      def bounce_step(state: PathState, bounce) -> Tuple[PathState, None]:
         ray_count = state.ray_count + jnp.sum(state.alive, dtype=jnp.int32)
 
         if bounce_fn is not None:
@@ -227,8 +234,22 @@ def trace_paths(
         )
         return new_state, None
 
+      return bounce_step
+
+    step = make_bounce_step(intersect_fn, bounce_fn)
+    peel = (first_bounce_fn is not None if bounce_fn is not None
+            else first_intersect_fn is not None)
+    start = 0
+    if peel and cfg.max_bounces > 0:
+        first_step = make_bounce_step(
+            first_intersect_fn if first_intersect_fn is not None
+            else intersect_fn,
+            first_bounce_fn if bounce_fn is not None else None,
+        )
+        init, _ = first_step(init, jnp.asarray(0, jnp.int32))
+        start = 1
     final, _ = jax.lax.scan(
-        bounce_step, init, jnp.arange(cfg.max_bounces, dtype=jnp.int32)
+        step, init, jnp.arange(start, cfg.max_bounces, dtype=jnp.int32)
     )
     return final.radiance, final.ray_count
 

@@ -53,6 +53,8 @@ def sample_radiance_rows(
     intersect_fn=None,
     shade_fn=None,  # optional on-core shading stage (see trace_paths)
     bounce_fn=None,  # optional fused bounce megakernel (see trace_paths)
+    first_intersect_fn=None,  # uncompacted bounce-0 variants (see
+    first_bounce_fn=None,  # trace_paths: the primary wave is all-live)
     row_offset=0,  # traced or static: first image row this shard renders
     num_rows: Optional[int] = None,  # static: rows rendered here
     spp_offset=0,  # traced or static: first sample id this shard renders
@@ -140,7 +142,9 @@ def sample_radiance_rows(
             def run(o, d, pix, act):
                 return trace_paths(scene, o, d, pix, sample_key, cfg,
                                    intersect_fn, active0=act,
-                                   shade_fn=shade_fn, bounce_fn=bounce_fn)
+                                   shade_fn=shade_fn, bounce_fn=bounce_fn,
+                                   first_intersect_fn=first_intersect_fn,
+                                   first_bounce_fn=first_bounce_fn)
 
             n = origin.shape[0]
             chunk = cfg.ray_chunk
@@ -189,19 +193,26 @@ def sample_radiance(
     intersect_fn=None,
     shade_fn=None,
     bounce_fn=None,
+    first_intersect_fn=None,
+    first_bounce_fn=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One frame of spp jittered samples -> (mean radiance [H,W,3], rays [])."""
     return sample_radiance_rows(scene, cfg, frame, intersect_fn,
-                                shade_fn=shade_fn, bounce_fn=bounce_fn)
+                                shade_fn=shade_fn, bounce_fn=bounce_fn,
+                                first_intersect_fn=first_intersect_fn,
+                                first_bounce_fn=first_bounce_fn)
 
 
 def render_step(
     scene: SceneArrays, state: RenderState, cfg: RenderConfig,
-    intersect_fn=None, shade_fn=None, bounce_fn=None
+    intersect_fn=None, shade_fn=None, bounce_fn=None,
+    first_intersect_fn=None, first_bounce_fn=None,
 ) -> Tuple[RenderState, jnp.ndarray]:
     """One progressive frame: sample, accumulate, bump the frame counter."""
     radiance, rays = sample_radiance(scene, cfg, state.frame, intersect_fn,
-                                     shade_fn=shade_fn, bounce_fn=bounce_fn)
+                                     shade_fn=shade_fn, bounce_fn=bounce_fn,
+                                     first_intersect_fn=first_intersect_fn,
+                                     first_bounce_fn=first_bounce_fn)
     if cfg.accumulate:
         accum = film.accumulate(state.accum, radiance, state.frame.astype(radiance.dtype))
     else:
@@ -222,9 +233,11 @@ class Renderer:
     def __init__(self, cfg: RenderConfig, intersector_factory=None):
         self.cfg = cfg
         self._bind = None
+        self._bind_first = None  # uncompacted bounce-0 intersector
         self._accel_data = ()
         self._shade_fn = None
         self._bounce_bind = None
+        self._bounce_bind_first = None
         if intersector_factory is not None:
             # Back-compat: factory(scene) -> IntersectFn (closure-based).
             self._bind = lambda sc, acc: intersector_factory(sc)
@@ -413,6 +426,10 @@ class Renderer:
                                            route_tangent=wt)
 
             self._bind = bind_compact
+            if self.cfg.wave_compact_skip_first:
+                # Bounce 0 is all-live: run it uncompacted (trace_paths
+                # peels it; identical results, two routings saved/sample).
+                self._bind_first = inner_bind
 
         self._maybe_bind_shade(scene)
         self._maybe_bind_bounce(scene)
@@ -527,11 +544,28 @@ class Renderer:
             return bounce
 
         self._bounce_bind = bounce_bind
+        if cfg.wave_compact_group > 0 and cfg.wave_compact_skip_first:
+            def bounce_bind_first(acc):
+                def bounce(o, d, thr, rad, alive, pix, skey, bounce_i):
+                    return pallas_trace_bounce(
+                        o, d, thr, rad, alive, pix, acc, mtab, skey,
+                        bounce_i, num_materials=num_m, seed=seed,
+                        russian_roulette=rr, stack_depth=depth,
+                        packets_per_step=pps, leaf_pipeline=pipe,
+                    )
+
+                return bounce
+
+            self._bounce_bind_first = bounce_bind_first
 
     def _step_impl(self, scene: SceneArrays, state: RenderState, accel):
         bf = self._bounce_bind(accel) if self._bounce_bind else None
+        bf1 = (self._bounce_bind_first(accel)
+               if self._bounce_bind_first else None)
+        i1 = self._bind_first(scene, accel) if self._bind_first else None
         return render_step(scene, state, self.cfg, self._bind(scene, accel),
-                           shade_fn=self._shade_fn, bounce_fn=bf)
+                           shade_fn=self._shade_fn, bounce_fn=bf,
+                           first_intersect_fn=i1, first_bounce_fn=bf1)
 
     def _steps_impl(self, scene: SceneArrays, state: RenderState, accel,
                     num_steps: int):
@@ -540,11 +574,15 @@ class Renderer:
         amortizes across frames."""
         isect = self._bind(scene, accel)
         bf = self._bounce_bind(accel) if self._bounce_bind else None
+        bf1 = (self._bounce_bind_first(accel)
+               if self._bounce_bind_first else None)
+        i1 = self._bind_first(scene, accel) if self._bind_first else None
 
         def body(_, carry):
             st, rays = carry
             st2, r = render_step(scene, st, self.cfg, isect,
-                                 shade_fn=self._shade_fn, bounce_fn=bf)
+                                 shade_fn=self._shade_fn, bounce_fn=bf,
+                                 first_intersect_fn=i1, first_bounce_fn=bf1)
             return st2, rays + r
 
         return jax.lax.fori_loop(
