@@ -37,5 +37,6 @@ exec bash tools/tpu_session.sh logs/r3_session_s.log \
  "TRACY_BENCH_RBM=vlist TRACY_BENCH_COMPACT=262144 python bench.py" \
  "TRACY_BENCH_SCENE=/root/reference/data/scenes/helmet.scn TRACY_BENCH_RBM=fused TRACY_BENCH_COMPACT=262144 TRACY_BENCH_METRIC=helmet_1080p_4spp_mrays_per_s_per_chip python bench.py" \
  "TRACY_BENCH_SCENE=/root/reference/data/scenes/helmet.scn TRACY_BENCH_RBM=fused TRACY_BENCH_COMPACT=262144 TRACY_BENCH_SHADE=1 TRACY_BENCH_METRIC=helmet_1080p_4spp_shade_mrays_per_s_per_chip python bench.py" \
+ "TRACY_BENCH_SCENE=/root/reference/data/scenes/helmet.scn TRACY_BENCH_RBM=vlist TRACY_BENCH_COMPACT=262144 TRACY_BENCH_WOOPBF16=1 TRACY_BENCH_METRIC=helmet_1080p_4spp_vlistbf16_mrays_per_s_per_chip python bench.py" \
  "python -u tools/tpu_parity.py" \
  "python -u tools/tpu_grad_bench.py"

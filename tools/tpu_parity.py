@@ -49,6 +49,12 @@ SCENES = [
 def main() -> int:
     import jax
 
+    if os.environ.get("PARITY_CPU", "0") == "1":
+        # Dry-run mode. config.update, NOT the JAX_PLATFORMS env var: with
+        # the axon plugin registered and its tunnel down, env-var selection
+        # still initializes the axon backend and hangs device enumeration.
+        jax.config.update("jax_platforms", "cpu")
+
     cache_dir = os.environ.get("TRACY_COMPILE_CACHE", "/tmp/tracy_jit_cache")
     if cache_dir:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
