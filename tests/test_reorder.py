@@ -85,6 +85,23 @@ def test_compacted_intersector_matches_plain():
                                   np.asarray(a0.material)[m])
 
 
+def test_pick_compact_group():
+    from tracy_tpu.accel.reorder import pick_compact_group
+
+    # 640x480: the old 262144 clamp padded +71%; bounded pad picks 65536.
+    assert pick_compact_group(640 * 480) == 65536
+    # 1080p: 262144 pads only +1.1% — keep the deep group.
+    assert pick_compact_group(1920 * 1080) == 262144
+    # Exact power of two: no padding at all.
+    assert pick_compact_group(128 * 128) == 16384
+    # Every returned group is a power of two and the pad bound holds.
+    for n in (307200, 2073600, 480000, 196608, 65536, 12000):
+        g = pick_compact_group(n)
+        assert g & (g - 1) == 0
+        npad = -(-n // g) * g
+        assert g == 2048 or (npad - n) / n <= 0.125
+
+
 @pytest.mark.parametrize("scn", ["cornell", "trimesh"])
 def test_render_equal_with_compaction(scn, reference_data_root):
     """Full progressive renders, with and without per-wave compaction."""

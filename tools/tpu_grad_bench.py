@@ -45,10 +45,16 @@ def main() -> int:
                    data_root="/root/reference")
     b.width, b.height = w, h
     scene = b.build()
+    from tracy_tpu.accel.reorder import pick_compact_group
+
+    # Bounded-padding group (640x480 = 307200 rays with the old 262144
+    # default padded the wave to 524288: +71% dead lanes traced on every
+    # bounce — part of round 2's 263.8 ms/step).
     cfg = RenderConfig(width=w, height=h, spp=1, max_bounces=5,
                        tonemap="none", accel="packet",
                        wave_compact_group=int(
-                           os.environ.get("GRAD_COMPACT", 262144)))
+                           os.environ.get("GRAD_COMPACT",
+                                          pick_compact_group(w * h))))
 
     frame = jnp.asarray(0, jnp.int32)
     fwd_isect = make_training_intersector(scene, cfg,

@@ -84,11 +84,12 @@ def main() -> int:
                        data_root="/root/reference")
         scene = b.build()
         # THE production config (bench.py defaults), clamped to wave size.
-        npix = b.width * b.height
+        from tracy_tpu.accel.reorder import pick_compact_group
+
         cfg = RenderConfig(
             width=b.width, height=b.height, spp=1, accel="packet",
             pallas_rb_mode="fused",
-            wave_compact_group=min(262144, 1 << max(npix.bit_length() - 1, 11)),
+            wave_compact_group=pick_compact_group(b.width * b.height),
             use_pallas_shade=use_shade,
         )
         r = Renderer(cfg)

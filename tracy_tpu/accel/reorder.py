@@ -42,6 +42,27 @@ import jax
 import jax.numpy as jnp
 
 
+def pick_compact_group(n_rays: int, max_group: int = 262144,
+                       max_pad: float = 0.125) -> int:
+    """Largest power-of-two compaction group <= max_group whose wave
+    padding stays under max_pad.
+
+    The compactor pads each wave up to a multiple of the group, and every
+    padded lane traces as a dead ray. A naive "largest power of two <= n"
+    clamp can still nearly double the wave: 640x480 = 307200 rays with
+    group 262144 pads to 524288 (+71% dead lanes). Bigger groups compact
+    better (deeper routing, denser packets), so take the largest group
+    that keeps the pad overhead bounded.
+    """
+    g = max_group
+    while g > 2048:
+        npad = -(-n_rays // g) * g
+        if (npad - n_rays) / n_rays <= max_pad:
+            return g
+        g //= 2
+    return g
+
+
 def _stage_down(x, valid, dist, shift, group):
     """One butterfly stage, moving flagged elements DOWN by `shift`.
 

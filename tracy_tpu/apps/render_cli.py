@@ -115,11 +115,12 @@ def main(argv=None):
     compact = args.compact
     if compact is None:
         if on_tpu and accel in ("packet", "tlas"):
-            # The compactor pads each wave up to a multiple of the group —
-            # clamp the default to the wave's actual ray count so a small
-            # render doesn't trace 262144-ray waves of mostly dead lanes.
-            npix = builder.width * builder.height
-            compact = min(262144, 1 << max(npix.bit_length() - 1, 11))
+            # Largest group whose wave padding stays bounded (the compactor
+            # pads each wave up to a multiple of the group; dead pad lanes
+            # trace for real — see pick_compact_group).
+            from tracy_tpu.accel.reorder import pick_compact_group
+
+            compact = pick_compact_group(builder.width * builder.height)
         else:
             compact = 0
 
