@@ -98,16 +98,21 @@ class GeometryDiffIntersector:
     automatically via the `bind` duck-type.
     """
 
-    def __init__(self, base, slot_tri, with_tangent: bool):
+    def __init__(self, base, slot_tri, with_tangent: bool, first_base=None):
         self._base = base  # (o, d, act) -> (Hit, PacketAttrs, slot [N] i32)
         self._slot_tri = slot_tri  # [S] i32 slot -> original triangle id
         self._with_tangent = with_tangent
+        # Optional uncompacted base for the bounce-0 peel: bind() exposes
+        # it as `.first` on the bound fn (render_loss threads it through
+        # as trace_paths' first_intersect_fn).
+        self._first_base = first_base
 
     def bind(self, s: SceneArrays):
-        base, slot_tri, with_tangent = self._base, self._slot_tri, self._with_tangent
+        slot_tri, with_tangent = self._slot_tri, self._with_tangent
         sg = jax.lax.stop_gradient
 
-        def isect(o, d, act):
+        def make_isect(base):
+          def isect(o, d, act):
             hit0, attrs0, slot = base(sg(o), sg(d), act)
             hit0 = jax.tree_util.tree_map(sg, hit0)
             attrs0 = jax.tree_util.tree_map(sg, attrs0)
@@ -159,6 +164,11 @@ class GeometryDiffIntersector:
             attrs = attrs0._replace(normal=normal, tangent=tangent, uv=uv_t)
             return hit, attrs
 
+          return isect
+
+        isect = make_isect(self._base)
+        if self._first_base is not None:
+            isect.first = make_isect(self._first_base)
         return isect
 
     def __call__(self, o, d, act):
@@ -201,6 +211,7 @@ def make_training_intersector(scene: SceneArrays, cfg: RenderConfig,
             )
             if base is not None:
                 inner = base
+                first = None
                 if cfg.wave_compact_group > 0:
                     from tracy_tpu.accel.reorder import (
                         compact_intersector_slot,
@@ -208,8 +219,11 @@ def make_training_intersector(scene: SceneArrays, cfg: RenderConfig,
 
                     inner = compact_intersector_slot(
                         base, cfg.wave_compact_group, route_tangent=True)
+                    if cfg.wave_compact_skip_first:
+                        first = base  # bounce-0 peel (all-live wave)
                 return GeometryDiffIntersector(
-                    inner, base.tables.slot_tri, with_tangent=True
+                    inner, base.tables.slot_tri, with_tangent=True,
+                    first_base=first,
                 )
         bvh, _ = build_packet_bvh(scene, leaf_size=cfg.packet_leaf_size)
         base = make_packet_intersector(
@@ -241,8 +255,11 @@ def make_training_intersector(scene: SceneArrays, cfg: RenderConfig,
                 # winner-slot side output isn't routed.)
                 from tracy_tpu.accel.reorder import compact_intersector
 
+                raw = wrapped
                 wrapped = compact_intersector(
                     wrapped, cfg.wave_compact_group, route_tangent=True)
+                if cfg.wave_compact_skip_first:
+                    wrapped.first = raw  # bounce-0 peel (all-live wave)
             return wrapped
 
     bvh, _ = build_packet_bvh(scene, leaf_size=cfg.packet_leaf_size)
@@ -265,7 +282,11 @@ def render_loss(
         # GeometryDiffIntersector: rebind to the traced scene so vertex
         # gradients flow through the winner recompute.
         intersect_fn = intersect_fn.bind(s)
-    radiance, _rays = sample_radiance(s, cfg, frame, intersect_fn)
+    radiance, _rays = sample_radiance(
+        s, cfg, frame, intersect_fn,
+        # Bounce-0 compaction peel (bit-identical; see trace_paths).
+        first_intersect_fn=getattr(intersect_fn, "first", None),
+    )
     return jnp.mean((radiance - target) ** 2)
 
 
