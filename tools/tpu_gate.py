@@ -90,6 +90,47 @@ def main() -> int:
         print("[gate] FAIL: pallas vs xla mismatch", flush=True)
         return 1
 
+    # Candidate-default kernel variants (session S benches these at 1080p):
+    # compile each on the same tiny wave first so a Mosaic compile failure
+    # costs the gate ~a minute, not a 50-min bench slot. bf16-packed woop
+    # is statistical (~0.2% t quantization), so the agreement bar is lower.
+    if os.environ.get("TRACY_GATE_EXTRA", "1") == "1":
+        for label, pack, rbmode, width in [
+            ("woopbf16-fused", True, "fused", 2),
+            ("woopbf16-vlist", True, "vlist", 2),
+            ("4wide-fused", False, "fused", 4),
+        ]:
+            t0 = time.perf_counter()
+            try:
+                tb = build_tables(scene, bvh, with_tangent=False,
+                                  pack_woop=pack, width=width)
+                hv, _av = jax.jit(
+                    lambda oo, dd, aa, _tb=tb, _rb=rbmode: pallas_intersect(
+                        oo, dd, aa, _tb, interpret=interp, rb_mode=_rb)
+                )(o, d, act)
+                hv.t.block_until_ready()
+                mv = np.asarray(hv.mask)
+                tv = np.asarray(hv.t)
+                agree = (mx == mv).mean()
+                both = mx & mv
+                # bf16-packed woop moves t by ~0.2%; a few silhouette rays
+                # may legitimately win a different surface — judge by the
+                # fraction of closely-matching hits, not the max.
+                close = np.where(
+                    both, np.abs(tx - tv) <= 1e-2 * np.abs(tx) + 1e-3, True
+                ).mean()
+                bar = (0.98, 0.99) if pack else (0.999, 0.9999)
+                verdict = ("ok" if agree > bar[0] and close > bar[1]
+                           else "MISMATCH")
+                print(f"[gate] variant {label}: agree={agree:.4f} "
+                      f"close={close:.4f} {verdict} "
+                      f"({time.perf_counter()-t0:.1f}s)", flush=True)
+            except Exception as e:
+                print(f"[gate] variant {label} FAILED to compile/run: "
+                      f"{type(e).__name__}: {e} "
+                      f"({time.perf_counter()-t0:.1f}s) — skip its benches",
+                      flush=True)
+
     r = Renderer(cfg)
     st = init_state(cfg)
     t0 = time.perf_counter()
