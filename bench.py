@@ -261,8 +261,14 @@ def main():
 
         visits_per_ray = float(os.environ.get("TRACY_SOL_VISITS_PER_RAY",
                                               "0.8"))
-        dma_rows = int(os.environ.get(
-            "TRACY_SOL_DMA_ROWS", "16" if cfg.pallas_woop_bf16 else "24"))
+        # Per-leaf-visit DMA rows: fused copies the whole merged table
+        # (woop+attrs); vlist copies only the woop rows (attrs ride the
+        # batched phase-2 DMAs, amortized). bf16 packing halves woop rows.
+        if cfg.pallas_rb_mode == "vlist":
+            default_rows = "8" if cfg.pallas_woop_bf16 else "16"
+        else:
+            default_rows = "16" if cfg.pallas_woop_bf16 else "24"
+        dma_rows = int(os.environ.get("TRACY_SOL_DMA_ROWS", default_rows))
         hbm = packet_hbm_bound(1024, dma_rows,
                                visits_per_ray * 1024) / 1e6
         print(f"[bench] HBM speed-of-light ~{hbm:.1f} MRays/s "
