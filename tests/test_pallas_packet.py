@@ -396,21 +396,26 @@ def test_pallas_rb_list_overflow(monkeypatch, mode):
                                   np.asarray(al.material))
 
 
-def test_pallas_leaf_pipeline():
+@pytest.mark.parametrize("pack_woop", [False, True])
+def test_pallas_leaf_pipeline(pack_woop):
     """The software-pipelined leaf path (pending-leaf MT overlapped with
     the next chunk's DMA, double-buffered scratch) must be bit-identical
     to the single-buffered fused mode: leaves are MT'd in the same order
-    with the same best-t (tightening lags one leaf, a pruning hint only)."""
+    with the same best-t (tightening lags one leaf, a pruning hint only).
+    pack_woop=True is the round-3 candidate default combo (pipeline +
+    bf16-packed woop rows): quantization must match the non-pipelined
+    packed kernel exactly."""
     b = default_scene(32, 24)
     tex = b.add_texture(np.full((4, 4, 4), 0.5, np.float32))
     b.set_material_texture(1, 0, tex)
     scene = b.build()
     bvh, _ = build_packet_bvh(scene, leaf_size=64)
     i0 = make_pallas_intersector(scene, bvh, with_tangent=False,
-                                 interpret=True, rb_mode="fused")
+                                 interpret=True, rb_mode="fused",
+                                 pack_woop=pack_woop)
     ip = make_pallas_intersector(scene, bvh, with_tangent=False,
                                  interpret=True, rb_mode="fused",
-                                 leaf_pipeline=True)
+                                 leaf_pipeline=True, pack_woop=pack_woop)
     o, d = _rays_for(scene, 3072, seed=17)
     act = jnp.ones(3072, bool).at[1024:2048].set(False)  # dead mid packet
     h0, a0 = i0(o, d, act)

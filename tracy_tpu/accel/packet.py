@@ -11,7 +11,8 @@ regularity — there are NO gathers and NO scatters anywhere in the hot path:
   so node fetches are `lax.dynamic_slice` at scalar offsets (fast strided
   loads);
 * an inner node descends if ANY live ray hits its box (dense [B] slab tests
-  + a reduction); children are pushed far-then-near by mean entry distance;
+  + a reduction); children are pushed far-then-near by MIN entry distance
+  over the packet's hitting lanes;
 * a leaf is a CONTIGUOUS run of <= L triangles fetched with one scalar
   dynamic_slice and tested densely [B, L] on the VPU;
 * closest-hit selection uses min + first-match one-hot masked sums instead
