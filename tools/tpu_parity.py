@@ -84,13 +84,17 @@ def main() -> int:
                        data_root="/root/reference")
         scene = b.build()
         # THE production config (bench.py defaults), clamped to wave size.
+        # PARITY_RBM / PARITY_WOOPBF16 / PARITY_BVHW validate a candidate
+        # default (e.g. the session-S winner) against the reference pixels.
         from tracy_tpu.accel.reorder import pick_compact_group
 
         cfg = RenderConfig(
             width=b.width, height=b.height, spp=1, accel="packet",
-            pallas_rb_mode="fused",
+            pallas_rb_mode=os.environ.get("PARITY_RBM", "fused"),
             wave_compact_group=pick_compact_group(b.width * b.height),
             use_pallas_shade=use_shade,
+            pallas_woop_bf16=os.environ.get("PARITY_WOOPBF16", "0") == "1",
+            pallas_bvh_width=int(os.environ.get("PARITY_BVHW", "2")),
         )
         r = Renderer(cfg)
         st = init_state(cfg)
