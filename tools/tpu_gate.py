@@ -152,12 +152,40 @@ def main() -> int:
         st = init_state(cfg)
         st, rays = r.step_many(scene, st, 4)
     el = time.perf_counter() - t0
-    fin = bool(np.isfinite(np.asarray(st.accum)).all())
+    acc_default = np.asarray(st.accum)
+    fin = bool(np.isfinite(acc_default).all())
     print(f"[gate] 4-frame render: rays={int(rays)} {el:.1f}s finite={fin} "
           f"({float(rays)/1e6/el:.2f} MRays/s incl compile)", flush=True)
     if not fin:
         print("[gate] FAIL: non-finite accum", flush=True)
         return 1
+
+    # On-chip cross-validation of the full shading stack: the shade stage
+    # and the fused bounce megakernel are bit-identical to the XLA shading
+    # math BY DESIGN (interpret-asserted); prove it on real Mosaic before
+    # any bench trusts their numbers. Each render reuses the gate scene.
+    if os.environ.get("TRACY_GATE_EXTRA", "1") == "1":
+        def render_with(tag, **kw):
+            t0 = time.perf_counter()
+            try:
+                c = cfg.replace(**kw)
+                rr_ = Renderer(c)
+                s_ = init_state(c)
+                s_, _ = rr_.step_many(scene, s_, 4)
+                a = np.asarray(s_.accum)
+                d = np.abs(a - acc_default).max()
+                verdict = "ok" if d < 1e-5 else f"MISMATCH |d|max={d:.2e}"
+                print(f"[gate] render {tag}: {verdict} "
+                      f"({time.perf_counter()-t0:.1f}s)", flush=True)
+            except Exception as e:
+                print(f"[gate] render {tag} FAILED: {type(e).__name__}: {e} "
+                      f"({time.perf_counter()-t0:.1f}s) — skip its benches",
+                      flush=True)
+
+        if cfg.use_pallas_shade:
+            render_with("shade-off-vs-on", use_pallas_shade=False)
+        render_with("bounce-megakernel", use_pallas_bounce=True)
+
     print("[gate] PASS", flush=True)
     return 0
 

@@ -11,7 +11,7 @@ cd /root/repo
 echo "=== TPU session $(date) ===" >> "$LOG"
 
 echo "--- gate ---" >> "$LOG"
-timeout 1200 python -u tools/tpu_gate.py >> "$LOG" 2>&1
+timeout 1800 python -u tools/tpu_gate.py >> "$LOG" 2>&1
 if [ $? -ne 0 ]; then
     echo "GATE FAILED — aborting session (leave the chip alone >=30min)" >> "$LOG"
     exit 1
