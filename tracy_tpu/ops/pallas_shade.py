@@ -149,9 +149,10 @@ def shade_planes(sample_key, bounce, state, hitp, mread, *,
         h = _pcg_hash(h + bounce * jnp.uint32(_K_BOUNCE)
                       + jnp.uint32(draw) * jnp.uint32(_K_DRAW))
         bits = _pcg_hash(h)
-        return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
-            1.0 / 16777216.0
-        )
+        # Mosaic has no uint32->float32 cast; bits>>8 fits in 24 bits, so
+        # routing through int32 is bit-identical (value < 2^24, sign-safe).
+        return (bits >> jnp.uint32(8)).astype(jnp.int32).astype(
+            jnp.float32) * jnp.float32(1.0 / 16777216.0)
 
     r_z = rand(_DRAW_SPHERE_Z)
     r_phi = rand(_DRAW_SPHERE_PHI)
