@@ -210,6 +210,7 @@ def main():
         # (lossy ~0.2% t/u/v; statistical-parity only — keep off for
         # bit-exact runs).
         pallas_woop_bf16=os.environ.get("TRACY_BENCH_WOOPBF16", "0") == "1",
+        pallas_leaf_size=int(os.environ.get("TRACY_BENCH_LEAF", 128)),
     )
     r = Renderer(cfg)
     state = init_state(cfg)

@@ -54,7 +54,8 @@ def main() -> int:
                        tonemap="none", accel="packet",
                        wave_compact_group=int(
                            os.environ.get("GRAD_COMPACT",
-                                          pick_compact_group(w * h))))
+                                          pick_compact_group(w * h))),
+                       pallas_bvh_width=int(os.environ.get("GRAD_BVHW", 2)))
 
     frame = jnp.asarray(0, jnp.int32)
     fwd_isect = make_training_intersector(scene, cfg,

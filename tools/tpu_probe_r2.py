@@ -26,6 +26,7 @@ RBP = os.environ.get("PROBE_RBP", "0") == "1"
 RBG = os.environ.get("PROBE_RBG", "take")
 RBM = os.environ.get("PROBE_RBM", "minloop")
 LEAF = int(os.environ.get("PROBE_LEAF", 64))
+BVHW = int(os.environ.get("PROBE_BVHW", 2))  # tree width (tables.width)
 COST = os.environ.get("PROBE_COST", "tris")  # 'chunks' = the bench's build
 PPS_LIST = tuple(int(x) for x in os.environ.get("PROBE_PPS", "4,8,16,32").split(","))
 SKIP_C = os.environ.get("PROBE_SKIP_C", "0") == "1"
@@ -61,7 +62,7 @@ def main() -> int:
     scene = b.build()
     cfg = RenderConfig(width=w, height=h, spp=1, accel="packet")
     bvh, _ = build_packet_bvh(scene, leaf_size=LEAF, cost_mode=COST)
-    tables = build_tables(scene, bvh, with_tangent=False,
+    tables = build_tables(scene, bvh, with_tangent=False, width=BVHW,
                           pack_pairs=(os.environ.get("PROBE_RBG", "take")
                                       != "onehot"))
     print(f"[probe] dragon {b.num_triangles} tris, leaf_size={LEAF}, "
@@ -229,7 +230,8 @@ def run_frames(scene, cfg, Renderer, init_state):
     for pps in (2, 8):
         cfg2 = cfg.replace(pallas_packets_per_step=pps,
                            pallas_rb_mode=rbm, wave_compact_group=compact,
-                           use_pallas_shade=shade, use_pallas_bounce=bounce)
+                           use_pallas_shade=shade, use_pallas_bounce=bounce,
+                           pallas_bvh_width=BVHW)
         r = Renderer(cfg2)
         st = init_state(cfg2)
         t0 = time.perf_counter()
