@@ -56,16 +56,19 @@ def main() -> int:
 
     w = int(os.environ.get("PROBE_W", 640))
     h = int(os.environ.get("PROBE_H", 480))
-    b = load_scene("/root/reference/data/scenes/dragon.scn",
+    scene_name = os.environ.get("PROBE_SCENE", "dragon")
+    b = load_scene(f"/root/reference/data/scenes/{scene_name}.scn",
                    data_root="/root/reference")
     b.width, b.height = w, h
     scene = b.build()
     cfg = RenderConfig(width=w, height=h, spp=1, accel="packet")
+    # Textured scenes need tangents/uv in the tables for the shade stage.
+    wt = bool(np.asarray(scene.materials.tex_index).max() >= 0)
     bvh, _ = build_packet_bvh(scene, leaf_size=LEAF, cost_mode=COST)
-    tables = build_tables(scene, bvh, with_tangent=False, width=BVHW,
+    tables = build_tables(scene, bvh, with_tangent=wt, width=BVHW,
                           pack_pairs=(os.environ.get("PROBE_RBG", "take")
                                       != "onehot"))
-    print(f"[probe] dragon {b.num_triangles} tris, leaf_size={LEAF}, "
+    print(f"[probe] {scene_name} {b.num_triangles} tris, leaf_size={LEAF}, "
           f"node vmem {tables.vmem_bytes/1e6:.1f}MB", flush=True)
 
     # ---- primary rays in 32x32 tile order --------------------------------
@@ -124,6 +127,8 @@ def main() -> int:
 
     if SKIP_AB:
         # D-only run (frame timings): skip wave-2 build + sections B/C.
+        if os.environ.get("PROBE_D0", "0") == "1":
+            run_stub_frame(scene, cfg)
         run_frames(scene, cfg, Renderer, init_state)
         print("[probe] DONE", flush=True)
         return 0
@@ -179,11 +184,27 @@ def main() -> int:
     if SKIP_D:
         print("[probe] DONE", flush=True)
         return 0
-    print("[probe] === D0: frame minus intersection (stub intersector) ===",
-          flush=True)
+    run_stub_frame(scene, cfg)
+    run_frames(scene, cfg, Renderer, init_state)
+    print("[probe] DONE", flush=True)
+    return 0
+
+
+def run_stub_frame(scene, cfg):
+    """Section D0: full render_step frames with a stub intersector — the
+    XLA-side cost of everything EXCEPT intersection/shade-kernel (raygen,
+    XLA shading incl. any texture gathers, routing, accumulation)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
     from tracy_tpu.accel.packet import PacketAttrs
     from tracy_tpu.render.intersect import FLT_MAX, Hit
     from tracy_tpu.render.renderer import render_step, init_state as _init
+
+    print("[probe] === D0: frame minus intersection (stub intersector) ===",
+          flush=True)
 
     def stub_isect(o, d, act):
         n = o.shape[0]
@@ -210,10 +231,6 @@ def main() -> int:
     r = fj(st0); r[0].accum.block_until_ready()
     print(f"[probe] frame-minus-intersect: {(time.perf_counter()-t0)/4*1e3:.1f} ms/frame",
           flush=True)
-
-    run_frames(scene, cfg, Renderer, init_state)
-    print("[probe] DONE", flush=True)
-    return 0
 
 
 def run_frames(scene, cfg, Renderer, init_state):
