@@ -211,6 +211,9 @@ def main():
         # bit-exact runs).
         pallas_woop_bf16=os.environ.get("TRACY_BENCH_WOOPBF16", "0") == "1",
         pallas_leaf_size=int(os.environ.get("TRACY_BENCH_LEAF", 128)),
+        # Rays per Pallas packet (1024/2048/4096): wider packets amortize
+        # the serial per-visit traversal cost over more rays.
+        pallas_packet_rays=int(os.environ.get("TRACY_BENCH_PRAYS", 1024)),
     )
     r = Renderer(cfg)
     state = init_state(cfg)

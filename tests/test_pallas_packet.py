@@ -533,3 +533,38 @@ def test_pallas_woop_bf16(mode):
     close = np.isclose(tP, tF, rtol=1e-2, atol=1e-3)
     assert close.mean() > 0.98
     np.testing.assert_allclose(tP[close], tF[close], rtol=1e-2, atol=1e-3)
+
+
+@pytest.mark.parametrize("mode,prays,width", [
+    ("fused", 2048, 2),
+    ("fused", 4096, 4),
+    ("vlist", 4096, 2),
+    ("minloop", 2048, 2),
+])
+def test_pallas_packet_rays(mode, prays, width):
+    """Wide packets (16/32 sublanes) must find the exact same winners as
+    1024-ray packets: winners are per-ray strict-min best-t, so packet
+    formation only changes visit order, never results."""
+    b = default_scene(32, 24)
+    tex = b.add_texture(np.full((4, 4, 4), 0.5, np.float32))
+    b.set_material_texture(1, 0, tex)
+    scene = b.build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    i1 = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_mode=mode, width=width)
+    iw = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_mode=mode, width=width,
+                                 packet_rays=prays)
+    # 5120 rays: not a multiple of 4096 — exercises the padding path too.
+    o, d = _rays_for(scene, 5120, seed=33)
+    act = jnp.ones(5120, bool).at[512:1536].set(False)
+    h1, a1 = i1(o, d, act)
+    hw, aw = iw(o, d, act)
+    np.testing.assert_array_equal(np.asarray(h1.mask), np.asarray(hw.mask))
+    np.testing.assert_array_equal(np.asarray(h1.t), np.asarray(hw.t))
+    m = np.asarray(h1.mask)
+    np.testing.assert_array_equal(np.asarray(a1.normal)[m],
+                                  np.asarray(aw.normal)[m])
+    np.testing.assert_array_equal(np.asarray(a1.material)[m],
+                                  np.asarray(aw.material)[m])
+    np.testing.assert_array_equal(np.asarray(a1.uv)[m], np.asarray(aw.uv)[m])

@@ -95,24 +95,30 @@ def main() -> int:
     # costs the gate ~a minute, not a 50-min bench slot. bf16-packed woop
     # is statistical (~0.2% t quantization), so the agreement bar is lower.
     if os.environ.get("TRACY_GATE_EXTRA", "1") == "1":
-        for label, pack, rbmode, width, pipe in [
-            ("woopbf16-fused", True, "fused", 2, False),
-            ("woopbf16-vlist", True, "vlist", 2, False),
-            ("4wide-fused", False, "fused", 4, False),
+        for label, pack, rbmode, width, pipe, prays in [
+            ("woopbf16-fused", True, "fused", 2, False, 1024),
+            ("woopbf16-vlist", True, "vlist", 2, False, 1024),
+            ("4wide-fused", False, "fused", 4, False, 1024),
             # The leaf pipeline's double-buffered DMA is the one variant
             # interpret mode can't validate for races — check its RESULTS
             # on a real wave, not just that it compiles.
-            ("pipeline-fused", False, "fused", 2, True),
+            ("pipeline-fused", False, "fused", 2, True, 1024),
+            # Wide packets (16/32 sublanes): verify Mosaic accepts the
+            # non-8 sublane planes AND the results match on a real wave.
+            ("prays2048-fused", False, "fused", 4, False, 2048),
+            ("prays4096-fused", False, "fused", 4, False, 4096),
+            ("prays4096-vlist", False, "vlist", 4, False, 4096),
         ]:
             t0 = time.perf_counter()
             try:
                 tb = build_tables(scene, bvh, with_tangent=False,
                                   pack_woop=pack, width=width)
                 hv, _av = jax.jit(
-                    lambda oo, dd, aa, _tb=tb, _rb=rbmode, _pi=pipe:
+                    lambda oo, dd, aa, _tb=tb, _rb=rbmode, _pi=pipe,
+                    _pr=prays:
                     pallas_intersect(
                         oo, dd, aa, _tb, interpret=interp, rb_mode=_rb,
-                        leaf_pipeline=_pi)
+                        leaf_pipeline=_pi, packet_rays=_pr)
                 )(o, d, act)
                 hv.t.block_until_ready()
                 mv = np.asarray(hv.mask)

@@ -27,6 +27,7 @@ RBG = os.environ.get("PROBE_RBG", "take")
 RBM = os.environ.get("PROBE_RBM", "minloop")
 LEAF = int(os.environ.get("PROBE_LEAF", 64))
 BVHW = int(os.environ.get("PROBE_BVHW", 2))  # tree width (tables.width)
+PRAYS = int(os.environ.get("PROBE_PRAYS", 1024))  # rays per packet
 COST = os.environ.get("PROBE_COST", "tris")  # 'chunks' = the bench's build
 PPS_LIST = tuple(int(x) for x in os.environ.get("PROBE_PPS", "4,8,16,32").split(","))
 SKIP_C = os.environ.get("PROBE_SKIP_C", "0") == "1"
@@ -101,7 +102,8 @@ def main() -> int:
                 hit, at = pallas_intersect(oo, d, act, tables,
                                            packets_per_step=pps,
                                            rb_window=RBW, rb_prefetch=RBP,
-                                           rb_gather=RBG, rb_mode=RBM)
+                                           rb_gather=RBG, rb_mode=RBM,
+                                           packet_rays=PRAYS)
                 return s + jnp.sum(hit.t
                                    * 0.0) + jnp.sum(jnp.where(hit.mask, 1.0, 0.0)), hit.t[0]
             return jax.lax.fori_loop(0, reps, body, (jnp.float32(0), jnp.float32(0)))
@@ -115,7 +117,7 @@ def main() -> int:
         r = f(o, d, act)
         r[0].block_until_ready()
         el = (time.perf_counter() - t0) / reps
-        per_packet = el / (len(o) // 1024)
+        per_packet = el / max(len(o) // PRAYS, 1)
         print(f"[probe] {label} pps={pps:3d}: {el*1e3:8.2f} ms/wave  "
               f"{per_packet*1e6:7.1f} us/packet  (compile {compile_s:.0f}s)",
               flush=True)
@@ -215,20 +217,23 @@ def run_stub_frame(scene, cfg):
                          material=jnp.zeros((n,), jnp.int32))
         return hit, at
 
-    def frame_prog(st):
+    def frame_prog(sc, st):
+        # scene rides as a jit ARGUMENT: closure-captured device arrays
+        # become HLO literals, and a textured scene's atlas blows the
+        # remote-compile request limit (helmet: HTTP 413).
         def body(_, carry):
-            s2, r = render_step(scene, carry[0], cfg, stub_isect)
+            s2, r = render_step(sc, carry[0], cfg, stub_isect)
             return s2, carry[1] + r
         return jax.lax.fori_loop(0, 4, body, (st, jnp.zeros((), jnp.int32)))
 
     fj = jax.jit(frame_prog)
     st0 = _init(cfg)
     t0 = time.perf_counter()
-    r = fj(st0); r[0].accum.block_until_ready()
+    r = fj(scene, st0); r[0].accum.block_until_ready()
     print(f"[probe] stub-frame compile+run {time.perf_counter()-t0:.0f}s", flush=True)
     st0 = _init(cfg)
     t0 = time.perf_counter()
-    r = fj(st0); r[0].accum.block_until_ready()
+    r = fj(scene, st0); r[0].accum.block_until_ready()
     print(f"[probe] frame-minus-intersect: {(time.perf_counter()-t0)/4*1e3:.1f} ms/frame",
           flush=True)
 

@@ -143,6 +143,14 @@ class RenderConfig:
     # big values inflate compile time linearly.
     pallas_packets_per_step: int = 2
 
+    # Rays per Pallas packet (8/16/32 sublanes x 128 lanes). Wider packets
+    # amortize the traversal's SERIAL per-visit cost (vector->scalar
+    # drains + stack scalar ops) over more rays: per-ray inner visits drop
+    # ~3x from 1024 to 4096 at wave-2 incoherence (tools/traversal_stats),
+    # while the added vector work rides the underutilized VPU. Results are
+    # ray-wise identical for any value.
+    pallas_packet_rays: int = 1024
+
     # Pallas traversal branching factor: 4 collapses the binary BVH to
     # 4-wide nodes (halves stack pops on the dragon: 316 -> 160 inner
     # visits/packet, identical leaf visits) at ~1.7x the slab math per
@@ -221,6 +229,8 @@ class RenderConfig:
             )
         if self.pallas_bvh_width not in (2, 4):
             raise ValueError("pallas_bvh_width must be 2 or 4")
+        if self.pallas_packet_rays not in (1024, 2048, 4096):
+            raise ValueError("pallas_packet_rays must be 1024, 2048 or 4096")
         if self.pallas_leaf_pipeline and self.pallas_rb_mode != "fused":
             raise ValueError(
                 "pallas_leaf_pipeline requires pallas_rb_mode='fused'"

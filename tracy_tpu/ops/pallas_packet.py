@@ -437,7 +437,8 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
             rb_prefetch: bool, rb_gather: str, rb_packed: bool,
             rb_mode: str, leaf_pipeline: bool = False,
             bvh_width: int = 2, woop_bf16: bool = False,
-            shade: dict = None, sc_ref=None, mtab_ref=None):
+            shade: dict = None, sc_ref=None, mtab_ref=None,
+            sub: int = 8):
     """One grid step = `packets_per_step` packets, unrolled with STATIC
     packet indices. Round 1 looped packets with fori and indexed
     rays_ref/out_ref by the traced loop index — a value-level dynamic
@@ -472,7 +473,7 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
                              bvh_width=bvh_width, woop_bf16=woop_bf16,
                              shade=shade,
                              shade_keys=(sample_key, bounce),
-                             mtab_ref=mtab_ref)
+                             mtab_ref=mtab_ref, sub=sub)
 
             @pl.when(jnp.logical_not(any_live))
             def _(pkt=pkt):
@@ -490,7 +491,7 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
                          rb_prefetch=rb_prefetch, rb_gather=rb_gather,
                          rb_packed=rb_packed, rb_mode=rb_mode,
                          leaf_pipeline=leaf_pipeline, bvh_width=bvh_width,
-                         woop_bf16=woop_bf16)
+                         woop_bf16=woop_bf16, sub=sub)
             continue
         # Dead-packet fast path: per-wave compaction leaves late waves
         # mostly dead packets, and the full body's plumbing floor (ray
@@ -508,11 +509,11 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
                          rb_prefetch=rb_prefetch, rb_gather=rb_gather,
                          rb_packed=rb_packed, rb_mode=rb_mode,
                          leaf_pipeline=leaf_pipeline, bvh_width=bvh_width,
-                         woop_bf16=woop_bf16)
+                         woop_bf16=woop_bf16, sub=sub)
 
         @pl.when(jnp.logical_not(any_live))
         def _(pkt=pkt):
-            zero = jnp.zeros((8, 128), jnp.float32)
+            zero = jnp.zeros((sub, 128), jnp.float32)
             out_ref[pkt, 0] = zero - BIG  # t: -BIG = inactive miss
             for k in range(1, 3 + num_out):
                 out_ref[pkt, k] = zero  # u/v/attrs
@@ -527,7 +528,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                  rb_gather: str, rb_packed: bool, rb_mode: str,
                  leaf_pipeline: bool = False, bvh_width: int = 2,
                  woop_bf16: bool = False, shade: dict = None,
-                 shade_keys=None, mtab_ref=None):
+                 shade_keys=None, mtab_ref=None, sub: int = 8):
     from tracy_tpu.ops import pallas_shade as _ps
 
     woop_rows = 8 if woop_bf16 else WOOP_ROWS
@@ -569,7 +570,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
     # leaf visit.
     # acc planes: [0]=win chunk base (f32, -1 = none), [1]=win slot,
     # [2]=u, [3]=v, [4:]=attributes.
-    zero = jnp.zeros((8, 128), jnp.float32)
+    zero = jnp.zeros((sub, 128), jnp.float32)
     acc_ref[0] = zero - 1.0
     if rb_mode == "arena":
         # per-ray ARENA ENTRY index (position in the recorded chunk list;
@@ -599,7 +600,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
         if "nogather2" in _ABLATE:
             def pick(k):  # row broadcast, no dynamic gather (perf probe)
                 return jnp.broadcast_to(
-                    buf[k, :].reshape(1, WW)[:, :128], (8, 128)
+                    buf[k, :].reshape(1, WW)[:, :128], (sub, 128)
                 )
         elif rb_gather == "onehot":
             # Exact winner extraction as ONE MXU contraction per ray-row:
@@ -610,11 +611,11 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
             # in-tile permute, 128 lanes max, and serializes ~per lane).
             nrows = buf.shape[0]
             iota_w = jax.lax.broadcasted_iota(jnp.int32, (WW, 128), 0)
-            planes = [jnp.zeros((8, 128), jnp.float32)
+            planes = [jnp.zeros((sub, 128), jnp.float32)
                       for _ in range(nrows)]
-            for r in range(8):
+            for r in range(sub):
                 r_mask = jax.lax.broadcasted_iota(
-                    jnp.int32, (8, 1), 0) == r
+                    jnp.int32, (sub, 1), 0) == r
                 gidx_r = jnp.sum(jnp.where(r_mask, gidx, 0), axis=0)
                 oh = (iota_w == gidx_r[None, :]).astype(jnp.float32)
                 vals = jax.lax.dot_general(
@@ -632,7 +633,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                 return planes[k]
         else:
             def pick(k):
-                w = jnp.broadcast_to(buf[k, :].reshape(1, WW), (8, WW))
+                w = jnp.broadcast_to(buf[k, :].reshape(1, WW), (sub, WW))
                 if WW == 128:
                     return jnp.take_along_axis(w, gidx, axis=1)
                 # Mosaic's dynamic_gather is in-tile only: route >128-
@@ -790,7 +791,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
 
         def row_body(r, carry):
             cand_t, cand_idx, cand_u, cand_v, cand_att = carry
-            r_mask = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == r
+            r_mask = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0) == r
 
             def row(plane):  # row r of [8,128] without dynamic_slice
                 return jnp.sum(jnp.where(r_mask, plane, 0.0), axis=0)
@@ -856,20 +857,20 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
             return (cand_t, cand_idx, cand_u, cand_v, cand_att)
 
         att0 = tuple(
-            jnp.zeros((8, 128), jnp.float32) for _ in mt_comps
+            jnp.zeros((sub, 128), jnp.float32) for _ in mt_comps
         )
         if "nomt" in _ABLATE:
-            cand_t = jnp.full((8, 128), jnp.float32(BIG)) - ox
-            cand_idx = jnp.zeros((8, 128), jnp.int32)
-            cand_u = cand_v = jnp.zeros((8, 128), jnp.float32)
+            cand_t = jnp.full((sub, 128), jnp.float32(BIG)) - ox
+            cand_idx = jnp.zeros((sub, 128), jnp.int32)
+            cand_u = cand_v = jnp.zeros((sub, 128), jnp.float32)
             cand_att = att0
         else:
             cand_t, cand_idx, cand_u, cand_v, cand_att = jax.lax.fori_loop(
-                0, 8, row_body,
-                (jnp.full((8, 128), jnp.float32(BIG)),
-                 jnp.full((8, 128), jnp.int32(LEAF)),
-                 jnp.zeros((8, 128), jnp.float32),
-                 jnp.zeros((8, 128), jnp.float32),
+                0, sub, row_body,
+                (jnp.full((sub, 128), jnp.float32(BIG)),
+                 jnp.full((sub, 128), jnp.int32(LEAF)),
+                 jnp.zeros((sub, 128), jnp.float32),
+                 jnp.zeros((sub, 128), jnp.float32),
                  att0),
             )
 
@@ -1290,7 +1291,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                 minloop()
 
             if "countrb" in _ABLATE:
-                out_ref[pkt, 0] = jnp.full((8, 128), 1.0) * (
+                out_ref[pkt, 0] = jnp.full((sub, 128), 1.0) * (
                     kk + 1000 * rbl_ref[1]
                 ).astype(jnp.float32)
         elif rb_mode == "arena":
@@ -1354,7 +1355,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                     minloop()
 
             if "countrb" in _ABLATE:
-                out_ref[pkt, 0] = jnp.full((8, 128), 1.0) * (
+                out_ref[pkt, 0] = jnp.full((sub, 128), 1.0) * (
                     kk + 1000 * rbl_ref[1]
                 ).astype(jnp.float32)
         elif rb_mode == "vlist":
@@ -1416,7 +1417,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                     minloop()
 
             if "countrb" in _ABLATE:
-                out_ref[pkt, 0] = jnp.full((8, 128), 1.0) * (
+                out_ref[pkt, 0] = jnp.full((sub, 128), 1.0) * (
                     kk + 1000 * rbl_ref[1]
                 ).astype(jnp.float32)
         elif not rb_prefetch:
@@ -1424,7 +1425,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
             if "countrb" in _ABLATE:
                 # Perf probe: overwrite the t plane with this packet's
                 # readback iteration count (results wrong by design).
-                out_ref[pkt, 0] = jnp.full((8, 128), 1.0) * rb_n.astype(
+                out_ref[pkt, 0] = jnp.full((sub, 128), 1.0) * rb_n.astype(
                     jnp.float32
                 )
         else:
@@ -1471,7 +1472,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
         for k in range(2 + num_out):
             out_ref[pkt, 1 + k] = acc_ref[2 + k]
     if "countvisits" in _ABLATE:
-        one = jnp.full((8, 128), 1.0)
+        one = jnp.full((sub, 128), 1.0)
         out_ref[pkt, 0] = one * rbl_ref[2].astype(jnp.float32)
         out_ref[pkt, 1] = one * rbl_ref[3].astype(jnp.float32)
 
@@ -1487,30 +1488,42 @@ def pallas_intersect(
     packets_per_step: int = 2, return_slot: bool = False,
     rb_window: int = 1, rb_prefetch: bool = False, rb_gather: str = "take",
     rb_mode: str = "minloop", leaf_pipeline: bool = False,
+    packet_rays: int = PACKET,
 ):
     """Full wavefront intersection via the Pallas kernel.
 
     Returns (Hit, PacketAttrs); with return_slot=True also the winner's
     global slot per ray ([N] i32, -1 = miss) in the kernel's realigned
-    chunk layout — map to original triangles via tables.slot_tri."""
+    chunk layout — map to original triangles via tables.slot_tri.
+
+    packet_rays widens the packet (1024/2048/4096 = 8/16/32 sublanes x
+    128 lanes): the shared-stack traversal's SERIAL per-visit cost
+    (vector->scalar drains + stack SMEM ops) amortizes over more rays —
+    per-ray inner visits drop ~3x from 1024 to 4096 at wave-2 incoherence
+    (tools/traversal_stats.py) — while the added per-visit vector work
+    rides the underutilized VPU. Results are ray-wise identical for any
+    value (winners are per-ray strict-min best-t)."""
+    if packet_rays // 128 not in (8, 16, 32) or packet_rays % 128 != 0:
+        raise ValueError("packet_rays must be 1024, 2048 or 4096")
+    sub = packet_rays // 128
     n = origin.shape[0]
-    npad = -(-n // PACKET) * PACKET
+    npad = -(-n // packet_rays) * packet_rays
     wt = tables.with_tangent
     if npad != n:
         pad = npad - n
         origin = jnp.pad(origin, ((0, pad), (0, 0)))
         direction = jnp.pad(direction, ((0, pad), (0, 0)), constant_values=1.0)
         active = jnp.pad(active, (0, pad))
-    k = npad // PACKET
+    k = npad // packet_rays
 
     rays = jnp.concatenate(
         [
-            origin.T.reshape(3, k, 8, 128).transpose(1, 0, 2, 3),
-            direction.T.reshape(3, k, 8, 128).transpose(1, 0, 2, 3),
-            active.astype(jnp.float32).reshape(k, 1, 8, 128),
+            origin.T.reshape(3, k, sub, 128).transpose(1, 0, 2, 3),
+            direction.T.reshape(3, k, sub, 128).transpose(1, 0, 2, 3),
+            active.astype(jnp.float32).reshape(k, 1, sub, 128),
         ],
         axis=1,
-    )  # [k, 7, 8, 128]
+    )  # [k, 7, sub, 128]
 
     huv = tables.has_uv
     if rb_gather == "onehot" and tables.packed:
@@ -1549,7 +1562,7 @@ def pallas_intersect(
         rb_prefetch=rb_prefetch, rb_gather=rb_gather,
         rb_packed=tables.packed, rb_mode=rb_mode,
         leaf_pipeline=leaf_pipeline, bvh_width=tables.width,
-        woop_bf16=tables.woop_bf16,
+        woop_bf16=tables.woop_bf16, sub=sub,
     )
 
     def kernel_wrap(nb, nm, n4b, n4m, tab, rays_blk, out_blk,
@@ -1568,7 +1581,8 @@ def pallas_intersect(
 
     out = pl.pallas_call(
         kernel_wrap,
-        out_shape=jax.ShapeDtypeStruct((k, out_planes, 8, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((k, out_planes, sub, 128),
+                                        jnp.float32),
         grid=(ksteps,),
         in_specs=[
             # Tables are grid-invariant: single-buffered (the default
@@ -1586,10 +1600,11 @@ def pallas_intersect(
                          memory_space=pltpu.VMEM,
                          pipeline_mode=pl.Buffered(buffer_count=1)),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((pps, 7, 8, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((pps, 7, sub, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((pps, out_planes, 8, 128), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((pps, out_planes, sub, 128),
+                               lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((stack_depth,), jnp.int32),
@@ -1599,8 +1614,8 @@ def pallas_intersect(
                          else rb_window)
                         * LEAF), jnp.float32),
             pltpu.VMEM((attr_rows, rb_window * LEAF), jnp.float32),
-            pltpu.VMEM((4 + na + (1 if rb_mode == "arena" else 0), 8, 128),
-                       jnp.float32),
+            pltpu.VMEM((4 + na + (1 if rb_mode == "arena" else 0), sub,
+                        128), jnp.float32),
             pltpu.SMEM((LIST_CAP + 2,), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
@@ -1808,7 +1823,8 @@ def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,
                             rb_gather: str = "take",
                             rb_mode: str = "minloop",
                             leaf_pipeline: bool = False,
-                            width: int = 2, pack_woop: bool = False):
+                            width: int = 2, pack_woop: bool = False,
+                            packet_rays: int = PACKET):
     """Rich IntersectFn backed by the Pallas kernel, or None if the scene
     doesn't fit the VMEM budget. The returned function carries its
     PallasSceneTables as `.tables` (slot_tri maps winner slots to tris)."""
@@ -1823,7 +1839,8 @@ def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,
                                 stack_depth=stack_depth, interpret=interpret,
                                 return_slot=return_slot, rb_window=rb_window,
                                 rb_prefetch=rb_prefetch, rb_gather=rb_gather,
-                                rb_mode=rb_mode, leaf_pipeline=leaf_pipeline)
+                                rb_mode=rb_mode, leaf_pipeline=leaf_pipeline,
+                                packet_rays=packet_rays)
 
     intersect.tables = tables
     return intersect

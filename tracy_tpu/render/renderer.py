@@ -235,7 +235,8 @@ class Renderer:
         self._bind = None
         self._bind_first = None  # uncompacted bounce-0 intersector
         self._accel_data = ()
-        self._shade_fn = None
+        self._shade_bind = None   # binder: shade_data pytree -> shade_fn
+        self._shade_data = ()     # jit-argument arrays for the shade stage
         self._bounce_bind = None
         self._bounce_bind_first = None
         if intersector_factory is not None:
@@ -243,7 +244,7 @@ class Renderer:
             self._bind = lambda sc, acc: intersector_factory(sc)
         self._jit_step = jax.jit(self._step_impl, donate_argnums=(1,))
         self._jit_steps = jax.jit(self._steps_impl, donate_argnums=(1,),
-                                  static_argnums=(3,))
+                                  static_argnums=(4,))
         self.timer = Timer()
         self.total_rays = 0.0
 
@@ -356,6 +357,7 @@ class Renderer:
                 rbg = self.cfg.pallas_rb_gather
                 rbm = self.cfg.pallas_rb_mode
                 pipe = self.cfg.pallas_leaf_pipeline
+                prays = self.cfg.pallas_packet_rays
                 self._accel_data = tables
 
                 def bind(sc, acc):
@@ -364,7 +366,7 @@ class Renderer:
                             o, d, act, acc, stack_depth=depth,
                             packets_per_step=pps, rb_window=rbw,
                             rb_prefetch=rbp, rb_gather=rbg, rb_mode=rbm,
-                            leaf_pipeline=pipe,
+                            leaf_pipeline=pipe, packet_rays=prays,
                         )
                     )
 
@@ -464,16 +466,29 @@ class Renderer:
             mtab = build_material_table_tex(scene.materials, pages)
             if mtab is None:
                 return
+            # The page store is hundreds of MB on textured scenes: it MUST
+            # cross the jit boundary as an ARGUMENT (closure-captured
+            # device arrays are baked into the HLO as literals — helmet's
+            # 270MB pages blew the remote-compile request limit, HTTP 413).
+            # The host-side addressing constants stay in the closure.
+            self._shade_data = (mtab, pages.pages)
+            pages_host = pages._replace(pages=None)
 
-            def shade_fn(o, d, thr, rad, alive, pix, hmask, t, normal,
-                         tangent, uv, mat, skey, bounce):
-                return shade_packets_textured(
-                    o, d, thr, rad, alive, pix, hmask, t, normal, tangent,
-                    uv, mat, mtab, pages, skey, bounce, num_materials=num_m,
-                    seed=seed, russian_roulette=rr,
-                )
+            def shade_bind(sd):
+                mtab_a, pages_a = sd
+                pg = pages_host._replace(pages=pages_a)
 
-            self._shade_fn = shade_fn
+                def shade_fn(o, d, thr, rad, alive, pix, hmask, t, normal,
+                             tangent, uv, mat, skey, bounce):
+                    return shade_packets_textured(
+                        o, d, thr, rad, alive, pix, hmask, t, normal,
+                        tangent, uv, mat, mtab_a, pg, skey, bounce,
+                        num_materials=num_m, seed=seed, russian_roulette=rr,
+                    )
+
+                return shade_fn
+
+            self._shade_bind = shade_bind
             return
         from tracy_tpu.ops.pallas_shade import (
             build_material_table, shade_packets,
@@ -482,16 +497,22 @@ class Renderer:
         mtab = build_material_table(scene.materials)
         if mtab is None:
             return
+        self._shade_data = (jnp.asarray(mtab),)
 
-        def shade_fn(o, d, thr, rad, alive, pix, hmask, t, normal, tangent,
-                     uv, mat, skey, bounce):
-            return shade_packets(
-                o, d, thr, rad, alive, pix, hmask, t, normal, mat, mtab,
-                skey, bounce, num_materials=num_m, seed=seed,
-                russian_roulette=rr,
-            )
+        def shade_bind(sd):
+            (mtab_a,) = sd
 
-        self._shade_fn = shade_fn
+            def shade_fn(o, d, thr, rad, alive, pix, hmask, t, normal,
+                         tangent, uv, mat, skey, bounce):
+                return shade_packets(
+                    o, d, thr, rad, alive, pix, hmask, t, normal, mat,
+                    mtab_a, skey, bounce, num_materials=num_m, seed=seed,
+                    russian_roulette=rr,
+                )
+
+            return shade_fn
+
+        self._shade_bind = shade_bind
 
     def _maybe_bind_bounce(self, scene: SceneArrays):
         """FUSED bounce megakernel (intersect + shade in one kernel) when
@@ -558,17 +579,19 @@ class Renderer:
 
             self._bounce_bind_first = bounce_bind_first
 
-    def _step_impl(self, scene: SceneArrays, state: RenderState, accel):
+    def _step_impl(self, scene: SceneArrays, state: RenderState, accel,
+                   shade_data):
         bf = self._bounce_bind(accel) if self._bounce_bind else None
         bf1 = (self._bounce_bind_first(accel)
                if self._bounce_bind_first else None)
         i1 = self._bind_first(scene, accel) if self._bind_first else None
+        sf = self._shade_bind(shade_data) if self._shade_bind else None
         return render_step(scene, state, self.cfg, self._bind(scene, accel),
-                           shade_fn=self._shade_fn, bounce_fn=bf,
+                           shade_fn=sf, bounce_fn=bf,
                            first_intersect_fn=i1, first_bounce_fn=bf1)
 
     def _steps_impl(self, scene: SceneArrays, state: RenderState, accel,
-                    num_steps: int):
+                    shade_data, num_steps: int):
         """`num_steps` progressive frames inside ONE device program — the
         per-dispatch overhead (~30ms through the axon tunnel, measured)
         amortizes across frames."""
@@ -577,11 +600,12 @@ class Renderer:
         bf1 = (self._bounce_bind_first(accel)
                if self._bounce_bind_first else None)
         i1 = self._bind_first(scene, accel) if self._bind_first else None
+        sf = self._shade_bind(shade_data) if self._shade_bind else None
 
         def body(_, carry):
             st, rays = carry
             st2, r = render_step(scene, st, self.cfg, isect,
-                                 shade_fn=self._shade_fn, bounce_fn=bf,
+                                 shade_fn=sf, bounce_fn=bf,
                                  first_intersect_fn=i1, first_bounce_fn=bf1)
             return st2, rays + r
 
@@ -597,7 +621,8 @@ class Renderer:
     def step(self, scene: SceneArrays, state: RenderState):
         self._ensure_accel(scene)
         self.timer.begin()
-        state, rays = self._jit_step(scene, state, self._accel_data)
+        state, rays = self._jit_step(scene, state, self._accel_data,
+                                     self._shade_data)
         state.accum.block_until_ready()
         self.timer.end()
         self.total_rays += float(rays)
@@ -607,7 +632,8 @@ class Renderer:
         """num_steps progressive frames in one device dispatch."""
         self._ensure_accel(scene)
         self.timer.begin()
-        state, rays = self._jit_steps(scene, state, self._accel_data, num_steps)
+        state, rays = self._jit_steps(scene, state, self._accel_data,
+                                      self._shade_data, num_steps)
         state.accum.block_until_ready()
         self.timer.end()
         self.total_rays += float(rays)
