@@ -198,14 +198,19 @@ def main():
         # 'fused' resolves winner attributes at every leaf visit with pure
         # vector ops — no phase 2. Measured best (session Q: 3.97 MRays/s
         # at compact=262144 with tile-padded rows).
-        pallas_rb_mode=os.environ.get("TRACY_BENCH_RBM", "fused"),
+        # 'vlist' resolves attributes from a traversal-recorded visit list
+        # with batched phase-2 DMAs. Measured best (session T: 5.036 at
+        # 4-wide + shade; fused 4.983).
+        pallas_rb_mode=os.environ.get("TRACY_BENCH_RBM", "vlist"),
         pallas_leaf_pipeline=os.environ.get("TRACY_BENCH_PIPE", "0") == "1",
-        # Defaults are the LAST MEASURED best config (VERDICT r2 weak #2):
-        # shade stage / bounce megakernel / 4-wide stay off until a gate or
-        # session measures them faster on real Mosaic.
-        use_pallas_shade=os.environ.get("TRACY_BENCH_SHADE", "0") == "1",
+        # Defaults are the LAST MEASURED best config (VERDICT r2 weak #2).
+        # Sessions S-U (logs/r3_session_*.log) measured on real hardware:
+        # shade stage +1.9% on dragon and 14x on helmet (in-kernel texture
+        # pages + sky), 4-wide traversal +6.7%; the bounce megakernel
+        # regresses (4.09) and stays off.
+        use_pallas_shade=os.environ.get("TRACY_BENCH_SHADE", "1") == "1",
         use_pallas_bounce=os.environ.get("TRACY_BENCH_BOUNCE", "0") == "1",
-        pallas_bvh_width=int(os.environ.get("TRACY_BENCH_BVHW", 2)),
+        pallas_bvh_width=int(os.environ.get("TRACY_BENCH_BVHW", 4)),
         # bf16-pair-packed Woop rows: per-leaf-visit DMA 24 -> 16 rows
         # (lossy ~0.2% t/u/v; statistical-parity only — keep off for
         # bit-exact runs).

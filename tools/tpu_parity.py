@@ -70,7 +70,7 @@ def main() -> int:
     from tracy_tpu.scene.scn_parser import load_scene
 
     print(f"[parity] device: {jax.devices()[0]}", flush=True)
-    use_shade = os.environ.get("PARITY_SHADE", "0") == "1"
+    use_shade = os.environ.get("PARITY_SHADE", "1") == "1"
     names = os.environ.get("PARITY_SCENES", "")
     scenes = SCENES if not names else [
         s for s in SCENES if s[0] in names.split(",")]
@@ -90,11 +90,11 @@ def main() -> int:
 
         cfg = RenderConfig(
             width=b.width, height=b.height, spp=1, accel="packet",
-            pallas_rb_mode=os.environ.get("PARITY_RBM", "fused"),
+            pallas_rb_mode=os.environ.get("PARITY_RBM", "vlist"),
             wave_compact_group=pick_compact_group(b.width * b.height),
             use_pallas_shade=use_shade,
             pallas_woop_bf16=os.environ.get("PARITY_WOOPBF16", "0") == "1",
-            pallas_bvh_width=int(os.environ.get("PARITY_BVHW", "2")),
+            pallas_bvh_width=int(os.environ.get("PARITY_BVHW", "4")),
         )
         r = Renderer(cfg)
         st = init_state(cfg)

@@ -136,7 +136,11 @@ def main(argv=None):
         russian_roulette=not args.no_rr,
         ray_chunk=args.ray_chunk,
         wave_compact_group=compact,
-        pallas_rb_mode=args.rb_mode or "fused",
+        # Round-3 measured defaults (sessions S-U): vlist readback + 4-wide
+        # traversal + on-core shade (the config default) = 5.04 MRays/s on
+        # dragon 1080p, 17.4 on helmet (vs 4.58/1.21 at the round-2 config).
+        pallas_rb_mode=args.rb_mode or "vlist",
+        pallas_bvh_width=4,
     )
 
     if args.kernel in ("raster", "raster-gl"):
