@@ -219,6 +219,9 @@ def main():
         # Rays per Pallas packet (1024/2048/4096): wider packets amortize
         # the serial per-visit traversal cost over more rays.
         pallas_packet_rays=int(os.environ.get("TRACY_BENCH_PRAYS", 1024)),
+        # Batched slab reductions: one vector->scalar drain per inner visit
+        # instead of one per child (bit-identical).
+        pallas_slab_batch=os.environ.get("TRACY_BENCH_SLABB", "0") == "1",
     )
     r = Renderer(cfg)
     state = init_state(cfg)

@@ -568,3 +568,30 @@ def test_pallas_packet_rays(mode, prays, width):
     np.testing.assert_array_equal(np.asarray(a1.material)[m],
                                   np.asarray(aw.material)[m])
     np.testing.assert_array_equal(np.asarray(a1.uv)[m], np.asarray(aw.uv)[m])
+
+
+@pytest.mark.parametrize("mode,width", [("fused", 2), ("fused", 4),
+                                        ("vlist", 4)])
+def test_pallas_slab_batch(mode, width):
+    """Batched slab reductions (one fused vector->scalar drain per inner
+    visit) must be bit-identical: min over the same masked values, only
+    the reduction shape differs."""
+    b = default_scene(32, 24)
+    scene = b.build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    i0 = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_mode=mode, width=width)
+    ib = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_mode=mode, width=width,
+                                 slab_batch=True)
+    o, d = _rays_for(scene, 3072, seed=7)
+    act = jnp.ones(3072, bool).at[256:512].set(False)
+    h0, a0 = i0(o, d, act)
+    hb, ab = ib(o, d, act)
+    np.testing.assert_array_equal(np.asarray(h0.mask), np.asarray(hb.mask))
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(hb.t))
+    m = np.asarray(h0.mask)
+    np.testing.assert_array_equal(np.asarray(a0.normal)[m],
+                                  np.asarray(ab.normal)[m])
+    np.testing.assert_array_equal(np.asarray(a0.material)[m],
+                                  np.asarray(ab.material)[m])

@@ -95,19 +95,22 @@ def main() -> int:
     # costs the gate ~a minute, not a 50-min bench slot. bf16-packed woop
     # is statistical (~0.2% t quantization), so the agreement bar is lower.
     if os.environ.get("TRACY_GATE_EXTRA", "1") == "1":
-        for label, pack, rbmode, width, pipe, prays in [
-            ("woopbf16-fused", True, "fused", 2, False, 1024),
-            ("woopbf16-vlist", True, "vlist", 2, False, 1024),
-            ("4wide-fused", False, "fused", 4, False, 1024),
+        for label, pack, rbmode, width, pipe, prays, sbat in [
+            ("woopbf16-fused", True, "fused", 2, False, 1024, False),
+            ("woopbf16-vlist", True, "vlist", 2, False, 1024, False),
+            ("4wide-fused", False, "fused", 4, False, 1024, False),
             # The leaf pipeline's double-buffered DMA is the one variant
             # interpret mode can't validate for races — check its RESULTS
             # on a real wave, not just that it compiles.
-            ("pipeline-fused", False, "fused", 2, True, 1024),
+            ("pipeline-fused", False, "fused", 2, True, 1024, False),
             # Wide packets (16/32 sublanes): verify Mosaic accepts the
             # non-8 sublane planes AND the results match on a real wave.
-            ("prays2048-fused", False, "fused", 4, False, 2048),
-            ("prays4096-fused", False, "fused", 4, False, 4096),
-            ("prays4096-vlist", False, "vlist", 4, False, 4096),
+            ("prays2048-fused", False, "fused", 4, False, 2048, False),
+            ("prays4096-fused", False, "fused", 4, False, 4096, False),
+            ("prays4096-vlist", False, "vlist", 4, False, 4096, False),
+            # Batched slab reductions (one drain per inner visit).
+            ("slabbatch-vlist4", False, "vlist", 4, False, 1024, True),
+            ("slabbatch-fused4", False, "fused", 4, False, 1024, True),
         ]:
             t0 = time.perf_counter()
             try:
@@ -115,10 +118,10 @@ def main() -> int:
                                   pack_woop=pack, width=width)
                 hv, _av = jax.jit(
                     lambda oo, dd, aa, _tb=tb, _rb=rbmode, _pi=pipe,
-                    _pr=prays:
+                    _pr=prays, _sb=sbat:
                     pallas_intersect(
                         oo, dd, aa, _tb, interpret=interp, rb_mode=_rb,
-                        leaf_pipeline=_pi, packet_rays=_pr)
+                        leaf_pipeline=_pi, packet_rays=_pr, slab_batch=_sb)
                 )(o, d, act)
                 hv.t.block_until_ready()
                 mv = np.asarray(hv.mask)

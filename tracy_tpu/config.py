@@ -151,6 +151,13 @@ class RenderConfig:
     # ray-wise identical for any value.
     pallas_packet_rays: int = 1024
 
+    # Batch the traversal's per-child slab min-reductions into ONE fused
+    # vector->scalar drain per inner visit (bit-identical: min is exact
+    # and order-independent). The per-child scalar reads each pay the
+    # full drain of the preceding vector chain (~4 drains/visit at
+    # width 4 = the measured inner-visit dominator, session V).
+    pallas_slab_batch: bool = False
+
     # Pallas traversal branching factor: 4 collapses the binary BVH to
     # 4-wide nodes (halves stack pops on the dragon: 316 -> 160 inner
     # visits/packet, identical leaf visits) at ~1.7x the slab math per

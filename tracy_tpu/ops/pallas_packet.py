@@ -438,7 +438,7 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
             rb_mode: str, leaf_pipeline: bool = False,
             bvh_width: int = 2, woop_bf16: bool = False,
             shade: dict = None, sc_ref=None, mtab_ref=None,
-            sub: int = 8):
+            sub: int = 8, slab_batch: bool = False):
     """One grid step = `packets_per_step` packets, unrolled with STATIC
     packet indices. Round 1 looped packets with fori and indexed
     rays_ref/out_ref by the traced loop index — a value-level dynamic
@@ -473,7 +473,8 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
                              bvh_width=bvh_width, woop_bf16=woop_bf16,
                              shade=shade,
                              shade_keys=(sample_key, bounce),
-                             mtab_ref=mtab_ref, sub=sub)
+                             mtab_ref=mtab_ref, sub=sub,
+                             slab_batch=slab_batch)
 
             @pl.when(jnp.logical_not(any_live))
             def _(pkt=pkt):
@@ -491,7 +492,8 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
                          rb_prefetch=rb_prefetch, rb_gather=rb_gather,
                          rb_packed=rb_packed, rb_mode=rb_mode,
                          leaf_pipeline=leaf_pipeline, bvh_width=bvh_width,
-                         woop_bf16=woop_bf16, sub=sub)
+                         woop_bf16=woop_bf16, sub=sub,
+                         slab_batch=slab_batch)
             continue
         # Dead-packet fast path: per-wave compaction leaves late waves
         # mostly dead packets, and the full body's plumbing floor (ray
@@ -509,7 +511,8 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
                          rb_prefetch=rb_prefetch, rb_gather=rb_gather,
                          rb_packed=rb_packed, rb_mode=rb_mode,
                          leaf_pipeline=leaf_pipeline, bvh_width=bvh_width,
-                         woop_bf16=woop_bf16, sub=sub)
+                         woop_bf16=woop_bf16, sub=sub,
+                         slab_batch=slab_batch)
 
         @pl.when(jnp.logical_not(any_live))
         def _(pkt=pkt):
@@ -528,7 +531,8 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                  rb_gather: str, rb_packed: bool, rb_mode: str,
                  leaf_pipeline: bool = False, bvh_width: int = 2,
                  woop_bf16: bool = False, shade: dict = None,
-                 shade_keys=None, mtab_ref=None, sub: int = 8):
+                 shade_keys=None, mtab_ref=None, sub: int = 8,
+                 slab_batch: bool = False):
     from tracy_tpu.ops import pallas_shade as _ps
 
     woop_rows = 8 if woop_bf16 else WOOP_ROWS
@@ -1031,7 +1035,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
         m_right = meta[0, 2]
         is_leaf = m_count > 0
 
-        def slab(child):
+        def slab_plane(child):
             row = nb_ref[pl.ds(child, 1), :]  # [1, 8]
             t0x = (row[0, 0] - ox) * ix
             t1x = (row[0, 3] - ox) * ix
@@ -1048,14 +1052,28 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                 jnp.maximum(t0z, t1z),
             )
             hit = (tmax >= jnp.maximum(jnp.float32(EPS), tmin)) & (tmin < best_t)
-            return jnp.min(jnp.where(hit, tmin, jnp.float32(BIG)))
+            return jnp.where(hit, tmin, jnp.float32(BIG))
+
+        def slab(child):
+            return jnp.min(slab_plane(child))
 
         def inner_case(sp_in, bt):
             if "countvisits" in _ABLATE:
                 rbl_ref[3] = rbl_ref[3] + 1
             left, right = m_first, m_right
-            lmin = slab(left)
-            rmin = slab(right)
+            if slab_batch:
+                # One fused reduction for both children (see body4): the
+                # two per-child scalar min-reads each pay a full vector
+                # drain; batched, the chain drains once.
+                rows2 = jnp.concatenate(
+                    [jnp.min(slab_plane(left), axis=0, keepdims=True),
+                     jnp.min(slab_plane(right), axis=0, keepdims=True)],
+                    axis=0)
+                mins = jnp.min(rows2, axis=1)  # [2]
+                lmin, rmin = mins[0], mins[1]
+            else:
+                lmin = slab(left)
+                rmin = slab(right)
             l_any = lmin < BIG
             r_any = rmin < BIG
             near_is_left = lmin <= rmin
@@ -1102,6 +1120,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
             row = n4b_ref[pl.ds(e, 1), :]  # [1, 24]: 4 child bboxes
             m8 = n4m_ref[pl.ds(e, 1), :]  # [1, 8]: 4 (val, tag) pairs
             ts, es = [], []
+            masked = []  # per-child [sub,128] tmin planes (BIG where miss)
             for k in range(4):
                 o6 = 6 * k
                 t0x = (row[0, o6 + 0] - ox) * ix
@@ -1124,11 +1143,33 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                     tmn < best_t)
                 val = m8[0, 2 * k]
                 tag = m8[0, 2 * k + 1]
-                tmin_k = jnp.min(jnp.where(hit, tmn, jnp.float32(BIG)))
-                # padded children have inverted never-... the standard
-                # min/max slab HITS inverted boxes, so mask by tag instead.
-                ts.append(jnp.where(tag >= 0, tmin_k, jnp.float32(BIG)))
+                if slab_batch:
+                    # Defer the vector->scalar reduce: collect the masked
+                    # plane; ONE fused reduction below drains the vector
+                    # pipe once for all four children instead of four
+                    # times (each scalar read pays the full drain of the
+                    # preceding vector chain — NOTES.md drain law; the
+                    # four ~0.3us drains are the inner-visit dominator).
+                    masked.append(jnp.where(hit, tmn, jnp.float32(BIG)))
+                    ts.append(None)
+                else:
+                    tmin_k = jnp.min(jnp.where(hit, tmn, jnp.float32(BIG)))
+                    # padded children have inverted boxes; the standard
+                    # min/max slab HITS inverted boxes — mask by tag.
+                    ts.append(jnp.where(tag >= 0, tmin_k, jnp.float32(BIG)))
                 es.append(jnp.where(tag == 1, -(val + 1), val))
+            if slab_batch:
+                # [4,128] = per-child sublane-reduced rows, then one
+                # cross-lane min -> [4,1]; four scalar extracts of an
+                # ALREADY-DRAINED tiny vector are nearly free. min is
+                # exact and order-independent: bit-identical results.
+                rows4 = jnp.concatenate(
+                    [jnp.min(m, axis=0, keepdims=True) for m in masked],
+                    axis=0)
+                mins = jnp.min(rows4, axis=1)  # [4]
+                for k in range(4):
+                    tag = m8[0, 2 * k + 1]
+                    ts[k] = jnp.where(tag >= 0, mins[k], jnp.float32(BIG))
 
             # Ascending sort by tmin (5-comparator network), then push
             # far-to-near so the nearest child pops first.
@@ -1488,7 +1529,7 @@ def pallas_intersect(
     packets_per_step: int = 2, return_slot: bool = False,
     rb_window: int = 1, rb_prefetch: bool = False, rb_gather: str = "take",
     rb_mode: str = "minloop", leaf_pipeline: bool = False,
-    packet_rays: int = PACKET,
+    packet_rays: int = PACKET, slab_batch: bool = False,
 ):
     """Full wavefront intersection via the Pallas kernel.
 
@@ -1562,7 +1603,7 @@ def pallas_intersect(
         rb_prefetch=rb_prefetch, rb_gather=rb_gather,
         rb_packed=tables.packed, rb_mode=rb_mode,
         leaf_pipeline=leaf_pipeline, bvh_width=tables.width,
-        woop_bf16=tables.woop_bf16, sub=sub,
+        woop_bf16=tables.woop_bf16, sub=sub, slab_batch=slab_batch,
     )
 
     def kernel_wrap(nb, nm, n4b, n4m, tab, rays_blk, out_blk,
@@ -1824,7 +1865,8 @@ def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,
                             rb_mode: str = "minloop",
                             leaf_pipeline: bool = False,
                             width: int = 2, pack_woop: bool = False,
-                            packet_rays: int = PACKET):
+                            packet_rays: int = PACKET,
+                            slab_batch: bool = False):
     """Rich IntersectFn backed by the Pallas kernel, or None if the scene
     doesn't fit the VMEM budget. The returned function carries its
     PallasSceneTables as `.tables` (slot_tri maps winner slots to tris)."""
@@ -1840,7 +1882,8 @@ def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,
                                 return_slot=return_slot, rb_window=rb_window,
                                 rb_prefetch=rb_prefetch, rb_gather=rb_gather,
                                 rb_mode=rb_mode, leaf_pipeline=leaf_pipeline,
-                                packet_rays=packet_rays)
+                                packet_rays=packet_rays,
+                                slab_batch=slab_batch)
 
     intersect.tables = tables
     return intersect

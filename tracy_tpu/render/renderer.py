@@ -358,6 +358,7 @@ class Renderer:
                 rbm = self.cfg.pallas_rb_mode
                 pipe = self.cfg.pallas_leaf_pipeline
                 prays = self.cfg.pallas_packet_rays
+                sbatch = self.cfg.pallas_slab_batch
                 self._accel_data = tables
 
                 def bind(sc, acc):
@@ -367,6 +368,7 @@ class Renderer:
                             packets_per_step=pps, rb_window=rbw,
                             rb_prefetch=rbp, rb_gather=rbg, rb_mode=rbm,
                             leaf_pipeline=pipe, packet_rays=prays,
+                            slab_batch=sbatch,
                         )
                     )
 
