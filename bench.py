@@ -221,7 +221,7 @@ def main():
         pallas_packet_rays=int(os.environ.get("TRACY_BENCH_PRAYS", 1024)),
         # Batched slab reductions: one vector->scalar drain per inner visit
         # instead of one per child (bit-identical).
-        pallas_slab_batch=os.environ.get("TRACY_BENCH_SLABB", "0") == "1",
+        pallas_slab_batch=os.environ.get("TRACY_BENCH_SLABB", "1") == "1",
     )
     r = Renderer(cfg)
     state = init_state(cfg)

@@ -155,8 +155,9 @@ class RenderConfig:
     # vector->scalar drain per inner visit (bit-identical: min is exact
     # and order-independent). The per-child scalar reads each pay the
     # full drain of the preceding vector chain (~4 drains/visit at
-    # width 4 = the measured inner-visit dominator, session V).
-    pallas_slab_batch: bool = False
+    # width 4 = the measured inner-visit dominator, session V: inner
+    # 85 -> ~48 us/packet, headline 5.04 -> 5.44, session W).
+    pallas_slab_batch: bool = True
 
     # Pallas traversal branching factor: 4 collapses the binary BVH to
     # 4-wide nodes (halves stack pops on the dragon: 316 -> 160 inner
