@@ -810,12 +810,18 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
             dz_ok = dpz < 0.0
             inv_dz = jnp.where(dz_ok, 1.0 / jnp.where(dz_ok, dpz, -1.0), 0.0)
             tt = -opz * inv_dz
-            opx = W[0] * orx + W[1] * ory + W[2] * orz + W[3]
-            dpx = W[0] * drx + W[1] * dry + W[2] * drz
-            opy = W[4] * orx + W[5] * ory + W[6] * orz + W[7]
-            dpy = W[4] * drx + W[5] * dry + W[6] * drz
-            uu = opx + tt * dpx
-            vv = opy + tt * dpy
+            if "mtnoxy" in _ABLATE:
+                # Timing probe: skip the x/y Woop chains (results wrong) —
+                # sizes the transform-math share of the MT row loop.
+                uu = tt * jnp.float32(1e-6)
+                vv = tt * jnp.float32(2e-6)
+            else:
+                opx = W[0] * orx + W[1] * ory + W[2] * orz + W[3]
+                dpx = W[0] * drx + W[1] * dry + W[2] * drz
+                opy = W[4] * orx + W[5] * ory + W[6] * orz + W[7]
+                dpy = W[4] * drx + W[5] * dry + W[6] * drz
+                uu = opx + tt * dpx
+                vv = opy + tt * dpy
             bt_r = row(best_t_plane)  # [128] best before this leaf
             ok = (
                 dz_ok & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
@@ -823,17 +829,28 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
             )
             tt = jnp.where(ok, tt, jnp.float32(BIG))
             row_best = jnp.min(tt, axis=0)  # [128]
-            oh_raw = (tt == row_best) & ok  # [LEAF, 128]
-            # First-match tie-break: smallest sublane index among ties.
-            win_idx = jnp.min(
-                jnp.where(oh_raw, sub_iota, jnp.int32(LEAF)), axis=0
-            )  # [128]
-            # Winner u/v by min-trick over the ONE-hot (u,v >= 0, so a
-            # masked min extracts the winning slot's value): this keeps
-            # the woop table out of the phase-2 readback entirely.
-            oh1 = oh_raw & (sub_iota == win_idx[None, :])
-            u_row = jnp.min(jnp.where(oh1, uu, jnp.float32(BIG)), axis=0)
-            v_row = jnp.min(jnp.where(oh1, vv, jnp.float32(BIG)), axis=0)
+            if "mtnowin" in _ABLATE:
+                # Timing probe: skip winner-index extraction (results wrong).
+                win_idx = jnp.zeros((128,), jnp.int32)
+                oh1 = oh_raw = tt < jnp.float32(BIG)
+            else:
+                oh_raw = (tt == row_best) & ok  # [LEAF, 128]
+                # First-match tie-break: smallest sublane index among ties.
+                win_idx = jnp.min(
+                    jnp.where(oh_raw, sub_iota, jnp.int32(LEAF)), axis=0
+                )  # [128]
+                # Winner u/v by min-trick over the ONE-hot (u,v >= 0, so a
+                # masked min extracts the winning slot's value): this keeps
+                # the woop table out of the phase-2 readback entirely.
+                oh1 = oh_raw & (sub_iota == win_idx[None, :])
+            if "mtnouv" in _ABLATE:
+                # Timing probe: skip winner u/v extraction (results wrong) —
+                # sizes lever (a), deferring u/v recompute to phase 2.
+                u_row = row_best * jnp.float32(1e-6)
+                v_row = row_best * jnp.float32(2e-6)
+            else:
+                u_row = jnp.min(jnp.where(oh1, uu, jnp.float32(BIG)), axis=0)
+                v_row = jnp.min(jnp.where(oh1, vv, jnp.float32(BIG)), axis=0)
             upd = r_mask  # write this row's results
             cand_t = jnp.where(upd, row_best[None, :], cand_t)
             cand_idx = jnp.where(upd, win_idx[None, :], cand_idx)
