@@ -100,6 +100,7 @@ def orchestrate():
         return False
 
     cpu_env = {
+        "TRACY_BENCH_FALLBACK": "cpu",
         "TRACY_BENCH_FORCE_CPU": "1",
         "TRACY_BENCH_WIDTH": "320", "TRACY_BENCH_HEIGHT": "240",
         "TRACY_BENCH_FRAMES": "2",
@@ -123,6 +124,7 @@ def orchestrate():
     if attempt({
         "TRACY_BENCH_WIDTH": "640", "TRACY_BENCH_HEIGHT": "480",
         "TRACY_BENCH_METRIC": "dragon_640x480_4spp_mrays_per_s_per_chip",
+        "TRACY_BENCH_FALLBACK": "res640",
     }, 420, "640x480"):
         return
     print("[bench] TPU attempts exhausted; recording CPU fallback",
@@ -229,7 +231,11 @@ def main():
 
     # ONE compiled program (step_many at a fixed frame count): warmup
     # compiles + runs it, the measurement re-runs it. On a device/compile
-    # error fall back to the XLA packet path once.
+    # error fall back to the XLA packet path once. ANY rung that engages is
+    # recorded in the JSON line's "fallback" field — round 3's helmet-413
+    # postmortem (NOTES.md sessions T-U) proved a silent ladder can hide a
+    # broken production config for a whole round.
+    fallback = os.environ.get("TRACY_BENCH_FALLBACK", "none")
     t0 = time.perf_counter()
     try:
         state, rays = r.step_many(scene, state, total)
@@ -239,6 +245,7 @@ def main():
         print(f"[bench] pallas path failed ({type(e).__name__}); retrying "
               f"without the shade stage", file=sys.stderr)
         try:
+            fallback = "noshade"
             cfg = cfg.replace(use_pallas_shade=False, use_pallas_bounce=False)
             r = Renderer(cfg)
             state = init_state(cfg)
@@ -246,6 +253,7 @@ def main():
         except Exception as e2:
             print(f"[bench] still failing ({type(e2).__name__}); falling "
                   f"back to XLA packet path", file=sys.stderr)
+            fallback = "xla"
             cfg = cfg.replace(use_pallas=False)
             r = Renderer(cfg)
             state = init_state(cfg)
@@ -310,6 +318,17 @@ def main():
         "value": round(mrays, 3),
         "unit": "MRays/s",
         "vs_baseline": round(vs, 3),
+        # The config that ACTUALLY ran (fallback-proof: "none" means the
+        # full production config; anything else is a degraded measurement).
+        "fallback": fallback,
+        "config": {
+            "rb_mode": cfg.pallas_rb_mode, "bvh_width": cfg.pallas_bvh_width,
+            "shade": bool(cfg.use_pallas_shade and cfg.use_pallas),
+            "slab_batch": cfg.pallas_slab_batch,
+            "compact": cfg.wave_compact_group, "pallas": cfg.use_pallas,
+            "packet_rays": cfg.pallas_packet_rays,
+            "defer_uv": cfg.pallas_defer_uv,
+        },
     }))
 
 

@@ -591,7 +591,106 @@ def test_pallas_slab_batch(mode, width):
     np.testing.assert_array_equal(np.asarray(h0.mask), np.asarray(hb.mask))
     np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(hb.t))
     m = np.asarray(h0.mask)
+    np.testing.assert_array_equal(np.asarray(h0.uv)[m],
+                                  np.asarray(hb.uv)[m])
     np.testing.assert_array_equal(np.asarray(a0.normal)[m],
                                   np.asarray(ab.normal)[m])
+    np.testing.assert_array_equal(np.asarray(a0.uv)[m],
+                                  np.asarray(ab.uv)[m])
     np.testing.assert_array_equal(np.asarray(a0.material)[m],
                                   np.asarray(ab.material)[m])
+
+
+@pytest.mark.parametrize("mode", ["fused", "vlist"])
+@pytest.mark.parametrize("width", [2, 4])
+def test_pallas_row_skip(mode, width):
+    """Row skip (run the leaf MT only for ray rows whose pushed slab mask
+    is live) must be EXACT: child AABBs nest inside parents and best_t
+    only tightens, so a ray that missed a node's box at push time can
+    never produce a winning hit inside it."""
+    b = default_scene(32, 24)
+    tex = b.add_texture(np.full((4, 4, 4), 0.5, np.float32))
+    b.set_material_texture(1, 0, tex)
+    scene = b.build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    i0 = make_pallas_intersector(scene, bvh, with_tangent=True,
+                                 interpret=True, rb_mode=mode, width=width,
+                                 slab_batch=True)
+    ir = make_pallas_intersector(scene, bvh, with_tangent=True,
+                                 interpret=True, rb_mode=mode, width=width,
+                                 slab_batch=True, row_skip=True)
+    o, d = _rays_for(scene, 3072, seed=11)
+    act = jnp.ones(3072, bool).at[100:700].set(False)
+    h0, a0 = i0(o, d, act)
+    hr, ar = ir(o, d, act)
+    np.testing.assert_array_equal(np.asarray(h0.mask), np.asarray(hr.mask))
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(hr.t))
+    m = np.asarray(h0.mask)
+    np.testing.assert_array_equal(np.asarray(h0.uv)[m], np.asarray(hr.uv)[m])
+    np.testing.assert_array_equal(np.asarray(a0.normal)[m],
+                                  np.asarray(ar.normal)[m])
+    np.testing.assert_array_equal(np.asarray(a0.uv)[m], np.asarray(ar.uv)[m])
+    np.testing.assert_array_equal(np.asarray(a0.tangent)[m],
+                                  np.asarray(ar.tangent)[m])
+    np.testing.assert_array_equal(np.asarray(a0.material)[m],
+                                  np.asarray(ar.material)[m])
+
+
+@pytest.mark.parametrize("textured", [False, True])
+@pytest.mark.parametrize("width", [2, 4])
+def test_pallas_defer_uv(textured, width):
+    """Deferred winner-u/v extraction (vlist phase 2 recomputes u/v from
+    the winner's gathered Woop coefficients and the stored winner t, with
+    the same expression tree) must match the in-loop extraction."""
+    b = default_scene(32, 24)
+    if textured:
+        tex = b.add_texture(np.full((4, 4, 4), 0.5, np.float32))
+        b.set_material_texture(1, 0, tex)
+    scene = b.build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    i0 = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_mode="vlist",
+                                 width=width, slab_batch=True)
+    idf = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                  interpret=True, rb_mode="vlist",
+                                  width=width, slab_batch=True,
+                                  defer_uv=True)
+    o, d = _rays_for(scene, 3072, seed=13)
+    act = jnp.ones(3072, bool).at[256:512].set(False)
+    h0, a0 = i0(o, d, act)
+    hd, ad = idf(o, d, act)
+    np.testing.assert_array_equal(np.asarray(h0.mask), np.asarray(hd.mask))
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(hd.t))
+    m = np.asarray(h0.mask)
+    np.testing.assert_array_equal(np.asarray(h0.uv)[m], np.asarray(hd.uv)[m])
+    np.testing.assert_array_equal(np.asarray(a0.normal)[m],
+                                  np.asarray(ad.normal)[m])
+    np.testing.assert_array_equal(np.asarray(a0.uv)[m], np.asarray(ad.uv)[m])
+    np.testing.assert_array_equal(np.asarray(a0.material)[m],
+                                  np.asarray(ad.material)[m])
+
+
+def test_pallas_row_skip_defer_uv_combined():
+    """Both levers together (the production candidate config)."""
+    b = default_scene(32, 24)
+    scene = b.build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    i0 = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_mode="vlist", width=4,
+                                 slab_batch=True)
+    ic = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_mode="vlist", width=4,
+                                 slab_batch=True, row_skip=True,
+                                 defer_uv=True)
+    o, d = _rays_for(scene, 4096, seed=17)
+    act = jnp.ones(4096, bool).at[0:128].set(False)
+    h0, a0 = i0(o, d, act)
+    hc, ac = ic(o, d, act)
+    np.testing.assert_array_equal(np.asarray(h0.mask), np.asarray(hc.mask))
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(hc.t))
+    m = np.asarray(h0.mask)
+    np.testing.assert_array_equal(np.asarray(h0.uv)[m], np.asarray(hc.uv)[m])
+    np.testing.assert_array_equal(np.asarray(a0.normal)[m],
+                                  np.asarray(ac.normal)[m])
+    np.testing.assert_array_equal(np.asarray(a0.material)[m],
+                                  np.asarray(ac.material)[m])

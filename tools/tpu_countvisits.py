@@ -8,7 +8,9 @@ frozen wave-2 rays (PROBE_RAYS_FILE) and prints per-packet visit stats —
 the denominators for every per-visit cost model (NOTES.md round 3: all
 prior per-visit numbers divided by CPU-replay counts, not kernel truth).
 
-Env: CV_W/CV_H (640x480), CV_LEAF (128), CV_BVHW (4), PROBE_RAYS_FILE.
+Env: CV_W/CV_H (640x480), CV_LEAF (128), CV_BVHW (4), CV_SCENE
+(dragon), PROBE_RAYS_FILE (wave-2 rays; generate per scene with
+tools/tpu_probe_r2.py PROBE_SCENE=<name> PROBE_RAYS_FILE=<path>).
 """
 
 from __future__ import annotations
@@ -38,15 +40,19 @@ def main() -> int:
     h = int(os.environ.get("CV_H", 480))
     leaf = int(os.environ.get("CV_LEAF", 128))
     width = int(os.environ.get("CV_BVHW", 4))
-    print(f"[cv] device: {jax.devices()[0]}  {w}x{h} leaf={leaf} "
-          f"width={width}", flush=True)
+    scene_name = os.environ.get("CV_SCENE", "dragon")
+    print(f"[cv] device: {jax.devices()[0]}  {scene_name} {w}x{h} "
+          f"leaf={leaf} width={width}", flush=True)
 
-    b = load_scene("/root/reference/data/scenes/dragon.scn",
+    b = load_scene(f"/root/reference/data/scenes/{scene_name}.scn",
                    data_root="/root/reference")
     b.width, b.height = w, h
     scene = b.build()
+    wt = bool(np.asarray(scene.materials.tex_index).max() >= 0)
     bvh, _ = build_packet_bvh(scene, leaf_size=leaf, cost_mode="chunks")
-    tables = build_tables(scene, bvh, with_tangent=False, width=width)
+    tables = build_tables(scene, bvh, with_tangent=wt, width=width)
+    print(f"[cv] tab rows={tables.tab.shape[0]} "
+          f"chunks={tables.tab.shape[1] // 128}", flush=True)
 
     cfg = RenderConfig(width=w, height=h, spp=1, accel="packet")
     rng = RngSpec(cfg.rng, cfg.seed)
@@ -64,26 +70,39 @@ def main() -> int:
         x = jnp.swapaxes(x, 1, 2)
         return x.reshape((h * w,) + extra)
 
+    # Per-packet sampling stride = the packet size actually used below
+    # (pallas_intersect default). Derived, not hardcoded, so a future
+    # packet_rays knob can't silently sample mid-packet values (ADVICE r3).
+    from tracy_tpu.ops.pallas_packet import PACKET as PACKET_RAYS
+
     def counts(label, o, d, act):
         # countvisits: kernel writes leaf visits into the t plane and inner
         # visits into the u plane (one constant per packet).
         interp = jax.default_backend() == "cpu"
         hit, _ = jax.jit(
             lambda oo, dd, aa: pallas_intersect(
-                oo, dd, aa, tables, rb_mode="minloop", interpret=interp)
+                oo, dd, aa, tables, rb_mode="minloop", interpret=interp,
+                packet_rays=PACKET_RAYS)
         )(o, d, act)
         # countvisits overwrites the t plane with the LEAF count and the u
         # plane with the INNER count (one constant per packet). Hit remaps
         # t=0 (zero visits) to FLT_MAX via the miss mask — fold those back.
-        leaf_v = np.asarray(hit.t)[::1024]
+        leaf_v = np.asarray(hit.t)[::PACKET_RAYS]
         leaf_v = np.where(leaf_v > 1e9, 0.0, leaf_v)
-        inner_v = np.asarray(hit.uv[:, 0])[::1024]
-        print(f"[cv] {label}: packets={len(inner_v)} "
-              f"inner/packet mean={inner_v.mean():.0f} "
-              f"p50={np.percentile(inner_v, 50):.0f} "
-              f"max={inner_v.max():.0f} | leaf/packet "
-              f"mean={leaf_v.mean():.0f} p50={np.percentile(leaf_v, 50):.0f} "
-              f"max={leaf_v.max():.0f}", flush=True)
+        inner_v = np.asarray(hit.uv[:, 0])[::PACKET_RAYS]
+        # Fully-dead packets take the fast path (0 visits by construction);
+        # report them separately so they don't dilute the per-visit means.
+        pad = (-len(np.asarray(act))) % PACKET_RAYS
+        act_p = np.concatenate([np.asarray(act), np.zeros(pad, bool)])
+        live_pkt = act_p.reshape(-1, PACKET_RAYS).any(axis=1)
+        dead = int((~live_pkt).sum())
+        inner_l, leaf_l = inner_v[live_pkt], leaf_v[live_pkt]
+        print(f"[cv] {label}: packets={len(inner_v)} (dead={dead}, "
+              f"excluded) inner/packet mean={inner_l.mean():.0f} "
+              f"p50={np.percentile(inner_l, 50):.0f} "
+              f"max={inner_l.max():.0f} | leaf/packet "
+              f"mean={leaf_l.mean():.0f} p50={np.percentile(leaf_l, 50):.0f} "
+              f"max={leaf_l.max():.0f}", flush=True)
 
     o1, d1 = tile_fold(o_i), tile_fold(d_i)
     act1 = jnp.ones((h * w,), bool)

@@ -38,9 +38,16 @@ _spec = importlib.util.spec_from_file_location(
 ref_parity = importlib.util.module_from_spec(_spec)
 
 # (name, frames, mean_tol, p95_tol, max_tol) — frames / tolerances match
-# tests/test_ref_parity.py's slow tier.
+# tests/test_ref_parity.py (the reference's whole test strategy is its
+# scene fixtures, SURVEY §4 — production-kernel parity covers ALL 9).
 SCENES = [
     ("cornell", 16, 0.01, 0.07, 0.2),
+    ("furnace", 24, 0.01, 0.02, 0.05),
+    ("testtree", 16, 0.01, 0.03, 0.12),
+    ("spheres", 6, 0.03, 0.06, 0.5),
+    ("trimesh", 24, 0.02, 0.06, 0.3),
+    ("bunny", 24, 0.02, 0.06, 0.3),
+    ("random", 24, 0.02, 0.06, 0.3),
     ("dragon", 24, 0.02, 0.06, 0.3),
     ("helmet", 24, 0.025, 0.08, 0.5),
 ]

@@ -62,6 +62,8 @@ def main(argv=None):
                    choices=["minloop", "list", "arena", "vlist", "fused",
                             "mt"],
                    help="Pallas winner-readback mode (default: fused)")
+    p.add_argument("-bvh-width", type=int, default=4, choices=[2, 4],
+                   help="Pallas traversal branching factor (default: 4)")
     p.add_argument("-cpu", action="store_true", help="force the CPU backend")
     p.add_argument("-mesh", default=None,
                    help="multi-chip mesh as DATAxSAMPLE, e.g. 4x2")
@@ -140,7 +142,7 @@ def main(argv=None):
         # traversal + on-core shade (the config default) = 5.04 MRays/s on
         # dragon 1080p, 17.4 on helmet (vs 4.58/1.21 at the round-2 config).
         pallas_rb_mode=args.rb_mode or "vlist",
-        pallas_bvh_width=4,
+        pallas_bvh_width=args.bvh_width,
     )
 
     if args.kernel in ("raster", "raster-gl"):

@@ -159,6 +159,26 @@ class RenderConfig:
     # 85 -> ~48 us/packet, headline 5.04 -> 5.44, session W).
     pallas_slab_batch: bool = True
 
+    # ROW SKIP: push an 8-bit per-row mask with every stack entry (bit r
+    # set iff some lane of ray-row r passed the child's slab test) and run
+    # the leaf MT row loop only for masked-live rows. EXACT, not a
+    # heuristic: child AABBs nest inside parent AABBs and best_t only
+    # tightens, so a ray that missed a node's box at push time can never
+    # hit a triangle inside it. At wave-2 incoherence most of a leaf's 8
+    # rows carry no ray that touched its box — this cuts the MT row-loop
+    # dominator (~119 us/packet, 60% of wave-2 cost, NOTES.md round 3) at
+    # row granularity. The masks ride the slab_batch reduction (one extra
+    # small reduce on an already-drained vector); requires
+    # pallas_slab_batch (silently off otherwise).
+    pallas_row_skip: bool = True
+
+    # Defer winner-u/v extraction out of the MT row loop (vlist only):
+    # phase 2 re-gathers the winner's Woop coefficient columns and
+    # recomputes u/v from the stored winner t with the SAME expression
+    # tree (oh1 + two masked sublane min-reduces per row leave the loop;
+    # measured 9.6 us/packet at wave 2, session X).
+    pallas_defer_uv: bool = False
+
     # Pallas traversal branching factor: 4 collapses the binary BVH to
     # 4-wide nodes (halves stack pops on the dragon: 316 -> 160 inner
     # visits/packet, identical leaf visits) at ~1.7x the slab math per

@@ -149,6 +149,12 @@ class PallasSceneTables:
     # pure permute and preserves bits).
     packed: bool = True
     width: int = 2  # traversal branching factor (2 or 4)
+    # Deepest 4-wide inner-node chain (root = 1; 0 when width == 2). Each
+    # inner pop pushes up to 4 entries, so a DFS holds at most
+    # 3*depth4 + 1 stack slots — pallas_intersect auto-raises its SMEM
+    # stack to that bound (the binary sizing rule max_depth=stack_depth-4
+    # does NOT bound 4-wide occupancy; a silent clamp would corrupt pops).
+    depth4: int = 0
     # bf16-pair packing of the WOOP rows themselves (12 -> 6, pad8 -> 8):
     # shrinks the per-leaf-visit DMA from 24 to 16 rows — the measured
     # cost lever (session P: per-visit cost tracks DMA row count, 16-row
@@ -163,15 +169,16 @@ class PallasSceneTables:
             (self.node_bounds, self.node_meta, self.tab, self.slot_tri,
              self.node4_bounds, self.node4_meta),
             (self.has_uv, self.has_tangent, self.packed, self.width,
-             self.woop_bf16),
+             self.woop_bf16, self.depth4),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (nb, nm, tab, slot_tri, n4b, n4m) = children
-        (has_uv, has_tangent, packed, width, woop_bf16) = aux
+        (has_uv, has_tangent, packed, width, woop_bf16, depth4) = aux
         return cls(nb, nm, tab, slot_tri, n4b, n4m,
-                   has_uv, has_tangent, packed, width, woop_bf16)
+                   has_uv=has_uv, has_tangent=has_tangent, packed=packed,
+                   width=width, woop_bf16=woop_bf16, depth4=depth4)
 
     @property
     def woop_rows(self) -> int:
@@ -195,15 +202,19 @@ def _collapse4(nb: np.ndarray, meta: np.ndarray):
 
     A 4-wide node corresponds to a kept binary inner node; its children
     are each binary child if a leaf, else that child's two children.
-    Returns (node4_bounds [N4, 24] f32, node4_meta [N4, 8] i32) with
-    (val, tag) child entries (see PallasSceneTables), or None when the
-    root is a leaf (nothing to collapse)."""
+    Returns (node4_bounds [N4, 24] f32, node4_meta [N4, 8] i32, depth4)
+    with (val, tag) child entries (see PallasSceneTables) and depth4 =
+    the deepest chain of 4-wide INNER nodes (root = 1) — the traversal
+    stack must hold 3*depth4 + 1 entries (each inner pop pushes up to 4),
+    or None when the root is a leaf (nothing to collapse)."""
     if meta[0, 1] > 0:
         return None
     n4b, n4m = [], []
     idmap = {}
     stack = [0]
     idmap[0] = 0
+    depth = {0: 1}
+    max_depth = 1
     n4b.append(np.zeros(24, np.float32))
     n4m.append(np.zeros(8, np.int32))
     while stack:
@@ -229,6 +240,8 @@ def _collapse4(nb: np.ndarray, meta: np.ndarray):
                         idmap[b] = len(n4b)
                         n4b.append(np.zeros(24, np.float32))
                         n4m.append(np.zeros(8, np.int32))
+                        depth[b] = depth[n] + 1
+                        max_depth = max(max_depth, depth[b])
                         stack.append(b)
                     mrow[2 * k], mrow[2 * k + 1] = idmap[b], 0
             else:
@@ -238,7 +251,7 @@ def _collapse4(nb: np.ndarray, meta: np.ndarray):
                 mrow[2 * k], mrow[2 * k + 1] = 0, -1
         n4b[me] = brow
         n4m[me] = mrow
-    return np.stack(n4b), np.stack(n4m)
+    return np.stack(n4b), np.stack(n4m), max_depth
 
 
 def build_tables(scene, bvh: PackedBVH, with_tangent: bool,
@@ -409,12 +422,13 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool,
     node_bounds = np.asarray(bvh.node_bounds, np.float32)
     n4b = np.zeros((1, 24), np.float32)
     n4m = np.zeros((1, 8), np.int32)
+    depth4 = 0
     if width == 4:
         four = _collapse4(node_bounds, meta)
         if four is None:
             width = 2  # root is a leaf: nothing to collapse
         else:
-            n4b, n4m = four
+            n4b, n4m, depth4 = four
     return PallasSceneTables(
         node_bounds=jnp.asarray(node_bounds),
         node_meta=jnp.asarray(meta.astype(np.int32)),
@@ -427,18 +441,20 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool,
         packed=pack_pairs,
         woop_bf16=pack_woop,
         width=width,
+        depth4=depth4,
     )
 
 
 def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
-            stack_ref, w_s, a_s, a_s2, acc_ref, rbl_ref, dma_sems,
+            stack_ref, rmask_ref, w_s, a_s, a_s2, acc_ref, rbl_ref, dma_sems,
             *, stack_depth: int, has_uv: bool, with_tangent: bool,
             num_out: int, packets_per_step: int, rb_window: int,
             rb_prefetch: bool, rb_gather: str, rb_packed: bool,
             rb_mode: str, leaf_pipeline: bool = False,
             bvh_width: int = 2, woop_bf16: bool = False,
-            shade: dict = None, sc_ref=None, mtab_ref=None,
-            sub: int = 8, slab_batch: bool = False):
+            shade: dict = None, mtab_ref=None, sc_ref=None,
+            sub: int = 8, slab_batch: bool = False,
+            row_skip: bool = False, defer_uv: bool = False):
     """One grid step = `packets_per_step` packets, unrolled with STATIC
     packet indices. Round 1 looped packets with fori and indexed
     rays_ref/out_ref by the traced loop index — a value-level dynamic
@@ -462,7 +478,8 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
             @pl.when(any_live)
             def _(pkt=pkt):
                 _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref,
-                             rays_ref, out_ref, pkt, stack_ref, w_s, a_s,
+                             rays_ref, out_ref, pkt, stack_ref, rmask_ref,
+                             w_s, a_s,
                              a_s2, acc_ref, rbl_ref, dma_sems,
                              stack_depth=stack_depth,
                              has_uv=has_uv, with_tangent=with_tangent,
@@ -474,7 +491,8 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
                              shade=shade,
                              shade_keys=(sample_key, bounce),
                              mtab_ref=mtab_ref, sub=sub,
-                             slab_batch=slab_batch)
+                             slab_batch=slab_batch, row_skip=row_skip,
+                             defer_uv=defer_uv)
 
             @pl.when(jnp.logical_not(any_live))
             def _(pkt=pkt):
@@ -485,7 +503,8 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
             # Timing bisection: run every packet body unconditionally (the
             # pre-892d708 structure; dead packets pay the ~13.7us floor).
             _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref,
-                         rays_ref, out_ref, pkt, stack_ref, w_s, a_s, a_s2,
+                         rays_ref, out_ref, pkt, stack_ref, rmask_ref,
+                         w_s, a_s, a_s2,
                          acc_ref, rbl_ref, dma_sems, stack_depth=stack_depth,
                          has_uv=has_uv, with_tangent=with_tangent,
                          num_out=num_out, rb_window=rb_window,
@@ -493,7 +512,8 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
                          rb_packed=rb_packed, rb_mode=rb_mode,
                          leaf_pipeline=leaf_pipeline, bvh_width=bvh_width,
                          woop_bf16=woop_bf16, sub=sub,
-                         slab_batch=slab_batch)
+                         slab_batch=slab_batch, row_skip=row_skip,
+                         defer_uv=defer_uv)
             continue
         # Dead-packet fast path: per-wave compaction leaves late waves
         # mostly dead packets, and the full body's plumbing floor (ray
@@ -504,7 +524,8 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
         @pl.when(any_live)
         def _(pkt=pkt):
             _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref,
-                         rays_ref, out_ref, pkt, stack_ref, w_s, a_s, a_s2,
+                         rays_ref, out_ref, pkt, stack_ref, rmask_ref,
+                         w_s, a_s, a_s2,
                          acc_ref, rbl_ref, dma_sems, stack_depth=stack_depth,
                          has_uv=has_uv, with_tangent=with_tangent,
                          num_out=num_out, rb_window=rb_window,
@@ -512,7 +533,8 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
                          rb_packed=rb_packed, rb_mode=rb_mode,
                          leaf_pipeline=leaf_pipeline, bvh_width=bvh_width,
                          woop_bf16=woop_bf16, sub=sub,
-                         slab_batch=slab_batch)
+                         slab_batch=slab_batch, row_skip=row_skip,
+                         defer_uv=defer_uv)
 
         @pl.when(jnp.logical_not(any_live))
         def _(pkt=pkt):
@@ -525,14 +547,16 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
 
 def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                  out_ref,
-                 pkt, stack_ref, w_s, a_s, a_s2, acc_ref, rbl_ref, dma_sems,
+                 pkt, stack_ref, rmask_ref, w_s, a_s, a_s2, acc_ref, rbl_ref,
+                 dma_sems,
                  *, stack_depth: int, has_uv: bool, with_tangent: bool,
                  num_out: int, rb_window: int, rb_prefetch: bool,
                  rb_gather: str, rb_packed: bool, rb_mode: str,
                  leaf_pipeline: bool = False, bvh_width: int = 2,
                  woop_bf16: bool = False, shade: dict = None,
                  shade_keys=None, mtab_ref=None, sub: int = 8,
-                 slab_batch: bool = False):
+                 slab_batch: bool = False, row_skip: bool = False,
+                 defer_uv: bool = False):
     from tracy_tpu.ops import pallas_shade as _ps
 
     woop_rows = 8 if woop_bf16 else WOOP_ROWS
@@ -556,6 +580,11 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
     ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
     stack_ref[0] = 0
+    if row_skip:
+        # Root row mask: all rows. Rows of DEAD rays drop out one level
+        # below on their own (dead lanes carry best_t = -BIG, so their
+        # child slab tests never hit and never set a row bit).
+        rmask_ref[0] = (1 << sub) - 1
     if rb_mode in ("list", "arena", "vlist"):
         rbl_ref[0] = 0  # chunk-list count
         rbl_ref[1] = 0  # overflow flag
@@ -593,7 +622,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
 
     WW = rb_window * LEAF
 
-    def resolve(buf, sel, gidx, u_sel, v_sel):
+    def resolve(buf, sel, gidx, u_sel, v_sel, tfin=None):
         """Gathers + interpolation + output selects for one window.
 
         buf is a [rows, WW] array; pure VECTOR ops throughout — safe to
@@ -658,6 +687,23 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                 bits = bits << 16
             return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
+        # defer_uv: the row loop never extracted winner u/v; recompute
+        # them here from the winner's gathered Woop coefficient columns
+        # and the stored winner t (t_final carries the winner's EXACT
+        # row-loop bits), with the SAME expression tree as the row loop
+        # (opx = W0*ox + W1*oy + W2*oz + W3; u = opx + t*dpx).
+        a_off = 0
+        if defer_uv:
+            a_off = woop_rows  # buf holds the whole fused table
+            Wg = [pick(kk) for kk in range(8)]
+            opx_w = Wg[0] * ox + Wg[1] * oy + Wg[2] * oz + Wg[3]
+            dpx_w = Wg[0] * dx + Wg[1] * dy + Wg[2] * dz
+            opy_w = Wg[4] * ox + Wg[5] * oy + Wg[6] * oz + Wg[7]
+            dpy_w = Wg[4] * dx + Wg[5] * dy + Wg[6] * dz
+            u_sel = opx_w + tfin * dpx_w
+            v_sel = opy_w + tfin * dpy_w
+            acc_ref[2] = jnp.where(sel, u_sel, acc_ref[2])
+            acc_ref[3] = jnp.where(sel, v_sel, acc_ref[3])
         w_sel = 1.0 - u_sel - v_sel
 
         def put(idx, val):
@@ -666,7 +712,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
         # Fused rows: [uv corners 0..5 when has_uv,] mat, normal
         # corners [, tangent corners] — bf16 pairs (packed) or plain
         # f32 rows (flat). Offsets are static per layout.
-        mat_row = 6 if has_uv else 0
+        mat_row = a_off + (6 if has_uv else 0)
         n_base = mat_row + 1
         t_base = n_base + (5 if rb_packed else 9)
 
@@ -683,8 +729,9 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                 k_out += 1
             if has_uv:
                 for comp in range(2):  # uv (f32 rows)
-                    put(k_out, w_sel * pick(comp) + u_sel * pick(2 + comp)
-                        + v_sel * pick(4 + comp))
+                    put(k_out, w_sel * pick(a_off + comp)
+                        + u_sel * pick(a_off + 2 + comp)
+                        + v_sel * pick(a_off + 4 + comp))
                     k_out += 1
             put(k_out, pick(mat_row))  # material id
             k_out += 1
@@ -706,7 +753,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
     # tightened best-t plane; updates acc planes (+ fused resolve).
     ROWS_W = w_s.shape[0] // 2 if leaf_pipeline else w_s.shape[0]
 
-    def leaf_mt(wrow, chunk_i, sub_off, m_count, bt):
+    def leaf_mt(wrow, chunk_i, sub_off, m_count, bt, rowmask=None):
         if leaf_pipeline:
             def wr(k):
                 return w_s[pl.ds(wrow + k, 1), :].reshape(LEAF, 1)
@@ -842,8 +889,14 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                 # Winner u/v by min-trick over the ONE-hot (u,v >= 0, so a
                 # masked min extracts the winning slot's value): this keeps
                 # the woop table out of the phase-2 readback entirely.
-                oh1 = oh_raw & (sub_iota == win_idx[None, :])
-            if "mtnouv" in _ABLATE:
+                # defer_uv: phase 2 recomputes u/v from the winner's
+                # gathered coefficients instead — the one-hot and the two
+                # masked sublane min-reduces leave the loop.
+                if not defer_uv or mt_comps:
+                    oh1 = oh_raw & (sub_iota == win_idx[None, :])
+            if defer_uv:
+                u_row = v_row = None
+            elif "mtnouv" in _ABLATE:
                 # Timing probe: skip winner u/v extraction (results wrong) —
                 # sizes lever (a), deferring u/v recompute to phase 2.
                 u_row = row_best * jnp.float32(1e-6)
@@ -854,8 +907,9 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
             upd = r_mask  # write this row's results
             cand_t = jnp.where(upd, row_best[None, :], cand_t)
             cand_idx = jnp.where(upd, win_idx[None, :], cand_idx)
-            cand_u = jnp.where(upd, u_row[None, :], cand_u)
-            cand_v = jnp.where(upd, v_row[None, :], cand_v)
+            if not defer_uv:
+                cand_u = jnp.where(upd, u_row[None, :], cand_u)
+                cand_v = jnp.where(upd, v_row[None, :], cand_v)
             if mt_comps:
                 # Interpolate on the [LEAF, 128] grid, then min-extract
                 # the single winning slot per lane (oh1 is one-hot per
@@ -886,8 +940,24 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
             cand_u = cand_v = jnp.zeros((sub, 128), jnp.float32)
             cand_att = att0
         else:
+            if row_skip and rowmask is not None:
+                # ROW SKIP: run the [LEAF, 128] MT math only for ray rows
+                # with at least one lane that passed this node's slab test
+                # at push time (the pushed row mask). EXACT, not a
+                # heuristic: child AABBs nest inside parent AABBs and
+                # best_t only tightens, so a ray that missed the child box
+                # at push time can never beat best_t on any triangle
+                # inside it. At wave-2 incoherence most of a leaf's 8 rows
+                # carry no such ray — this skips the MT dominator's work
+                # at row granularity for a scalar branch each.
+                def row_step(r, carry):
+                    live = jnp.right_shift(rowmask, r) & 1 == 1
+                    return jax.lax.cond(
+                        live, lambda c: row_body(r, c), lambda c: c, carry)
+            else:
+                row_step = row_body
             cand_t, cand_idx, cand_u, cand_v, cand_att = jax.lax.fori_loop(
-                0, sub, row_body,
+                0, sub, row_step,
                 (jnp.full((sub, 128), jnp.float32(BIG)),
                  jnp.full((sub, 128), jnp.int32(LEAF)),
                  jnp.zeros((sub, 128), jnp.float32),
@@ -900,8 +970,9 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
         # fetch resolves in phase 2, once per distinct winning chunk.
         acc_ref[0] = jnp.where(imp, jnp.float32(1.0) * chunk_i, acc_ref[0])
         acc_ref[1] = jnp.where(imp, cand_idx.astype(jnp.float32), acc_ref[1])
-        acc_ref[2] = jnp.where(imp, cand_u, acc_ref[2])
-        acc_ref[3] = jnp.where(imp, cand_v, acc_ref[3])
+        if not defer_uv:  # deferred: phase 2 recomputes + writes u/v
+            acc_ref[2] = jnp.where(imp, cand_u, acc_ref[2])
+            acc_ref[3] = jnp.where(imp, cand_v, acc_ref[3])
         if mt_comps:
             # 'mt' readback: the loop already extracted the winner's
             # interpolated attributes — commit the improving lanes.
@@ -961,7 +1032,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
         return jnp.where(imp, cand_t, bt)
 
 
-    def leaf_visit(m_first, m_count, sp_in, bt):
+    def leaf_visit(m_first, m_count, sp_in, bt, rowmask=None):
         """One leaf visit (shared by the binary and 4-wide traversals):
         chunk DMA (or pipeline hand-off) + the MT test + readback."""
         if "noleaf" in _ABLATE:
@@ -1027,16 +1098,20 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                 pch = pl.multiple_of(rbl_ref[1], LEAF)
                 cpr(opp, pch).wait()
                 return leaf_mt(opp * ROWS_W, pch, rbl_ref[2],
-                               rbl_ref[3], b)
+                               rbl_ref[3], b,
+                               rbl_ref[4] if row_skip else None)
 
             bt2 = jax.lax.cond(pend >= 0, mt_pending, lambda b: b, bt)
             rbl_ref[1] = chunk_base
             rbl_ref[2] = sub_off
             rbl_ref[3] = m_count
+            if row_skip:
+                rbl_ref[4] = (rowmask if rowmask is not None
+                              else (1 << sub) - 1)
             rbl_ref[0] = opp
             return bt2
 
-        return leaf_mt(0, chunk_base, sub_off, m_count, bt)
+        return leaf_mt(0, chunk_base, sub_off, m_count, bt, rowmask)
 
     def cond(c):
         return c[0] > 0
@@ -1078,7 +1153,25 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
             if "countvisits" in _ABLATE:
                 rbl_ref[3] = rbl_ref[3] + 1
             left, right = m_first, m_right
-            if slab_batch:
+            lmask = rmask = None
+            if slab_batch and row_skip:
+                # Per-ROW mins feed both the child scalar mins (exact: min
+                # is associative, row-then-column == column-then-row) and
+                # the pushed row masks (bit r set iff some lane of row r
+                # hit the child) in ONE drained [sub, 2] vector.
+                rowsub = jnp.concatenate(
+                    [jnp.min(slab_plane(left), axis=1, keepdims=True),
+                     jnp.min(slab_plane(right), axis=1, keepdims=True)],
+                    axis=1)  # [sub, 2]
+                mins = jnp.min(rowsub, axis=0)  # [2]
+                iota_s = jax.lax.broadcasted_iota(jnp.int32, (sub, 2), 0)
+                mvec = jnp.sum(
+                    jnp.where(rowsub < jnp.float32(BIG),
+                              jnp.left_shift(jnp.int32(1), iota_s), 0),
+                    axis=0)  # [2] i32 row masks
+                lmin, rmin = mins[0], mins[1]
+                lmask, rmask = mvec[0], mvec[1]
+            elif slab_batch:
                 # One fused reduction for both children (see body4): the
                 # two per-child scalar min-reads each pay a full vector
                 # drain; batched, the chain drains once.
@@ -1098,21 +1191,30 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
             far = jnp.where(near_is_left, right, left)
             near_any = jnp.where(near_is_left, l_any, r_any)
             far_any = jnp.where(near_is_left, r_any, l_any)
+            if row_skip:
+                near_m = jnp.where(near_is_left, lmask, rmask)
+                far_m = jnp.where(near_is_left, rmask, lmask)
 
             idx0 = jnp.minimum(sp_in, stack_depth - 1)
             @pl.when(far_any)
             def _():
                 stack_ref[idx0] = far
+                if row_skip:
+                    rmask_ref[idx0] = far_m
             sp1 = sp_in + far_any.astype(jnp.int32)
             idx1 = jnp.minimum(sp1, stack_depth - 1)
             @pl.when(near_any)
             def _():
                 stack_ref[idx1] = near
+                if row_skip:
+                    rmask_ref[idx1] = near_m
             sp2 = sp1 + near_any.astype(jnp.int32)
             return (sp2, bt)
 
         def leaf_case(sp_in, bt):
-            return (sp_in, leaf_visit(m_first, m_count, sp_in, bt))
+            return (sp_in, leaf_visit(
+                m_first, m_count, sp_in, bt,
+                rmask_ref[sp_in] if row_skip else None))
 
         return jax.lax.cond(is_leaf, leaf_case, inner_case, sp, c[1])
 
@@ -1129,7 +1231,9 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
         def leaf_case4(sp_in, bt):
             node = -e - 1
             meta = nm_ref[pl.ds(node, 1), :]
-            return (sp_in, leaf_visit(meta[0, 0], meta[0, 1], sp_in, bt))
+            return (sp_in, leaf_visit(
+                meta[0, 0], meta[0, 1], sp_in, bt,
+                rmask_ref[sp_in] if row_skip else None))
 
         def inner_case4(sp_in, bt):
             if "countvisits" in _ABLATE:
@@ -1175,7 +1279,24 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                     # min/max slab HITS inverted boxes — mask by tag.
                     ts.append(jnp.where(tag >= 0, tmin_k, jnp.float32(BIG)))
                 es.append(jnp.where(tag == 1, -(val + 1), val))
-            if slab_batch:
+            ms = [None] * 4
+            if slab_batch and row_skip:
+                # Per-ROW mins -> child mins AND pushed row masks from one
+                # drained [sub, 4] vector (exact: min associativity).
+                rowsub = jnp.concatenate(
+                    [jnp.min(m, axis=1, keepdims=True) for m in masked],
+                    axis=1)  # [sub, 4]
+                mins = jnp.min(rowsub, axis=0)  # [4]
+                iota_s = jax.lax.broadcasted_iota(jnp.int32, (sub, 4), 0)
+                mvec = jnp.sum(
+                    jnp.where(rowsub < jnp.float32(BIG),
+                              jnp.left_shift(jnp.int32(1), iota_s), 0),
+                    axis=0)  # [4] i32 row masks
+                for k in range(4):
+                    tag = m8[0, 2 * k + 1]
+                    ts[k] = jnp.where(tag >= 0, mins[k], jnp.float32(BIG))
+                    ms[k] = mvec[k]
+            elif slab_batch:
                 # [4,128] = per-child sublane-reduced rows, then one
                 # cross-lane min -> [4,1]; four scalar extracts of an
                 # ALREADY-DRAINED tiny vector are nearly free. min is
@@ -1196,6 +1317,9 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                                 jnp.where(swap, ts[i], ts[j]))
                 es[i], es[j] = (jnp.where(swap, es[j], es[i]),
                                 jnp.where(swap, es[i], es[j]))
+                if row_skip:
+                    ms[i], ms[j] = (jnp.where(swap, ms[j], ms[i]),
+                                    jnp.where(swap, ms[i], ms[j]))
             sp2 = sp_in
             for k in (3, 2, 1, 0):
                 hit_k = ts[k] < jnp.float32(BIG)
@@ -1204,6 +1328,8 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                 @pl.when(hit_k)
                 def _(idx=idx, k=k):
                     stack_ref[idx] = es[k]
+                    if row_skip:
+                        rmask_ref[idx] = ms[k]
 
                 sp2 = sp2 + hit_k.astype(jnp.int32)
             return (sp2, bt)
@@ -1227,7 +1353,8 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                 tab_ref.at[:, pl.ds(pch, LEAF)],
                 w_s.at[pl.ds(opp * ROWS_W, ROWS_W), :],
                 dma_sems.at[opp]).wait()
-            return leaf_mt(opp * ROWS_W, pch, rbl_ref[2], rbl_ref[3], b)
+            return leaf_mt(opp * ROWS_W, pch, rbl_ref[2], rbl_ref[3], b,
+                           rbl_ref[4] if row_skip else None)
 
         t_final = jax.lax.cond(rbl_ref[1] >= 0, flush, lambda b: b, t_final)
 
@@ -1301,12 +1428,15 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                 dst = (a_s.at[:, pl.ds(0, WW)]
                        if rb_mode in ("arena", "vlist") else a_s)
                 cp_a = pltpu.make_async_copy(
-                    tab_ref.at[pl.ds(woop_rows, a_s.shape[0]), pl.ds(win_base, WW)], dst, dma_sems.at[1])
+                    tab_ref.at[pl.ds(0 if defer_uv else woop_rows,
+                                     a_s.shape[0]), pl.ds(win_base, WW)],
+                    dst, dma_sems.at[1])
                 if "nodma2" not in _ABLATE:
                     cp_a.start()
                     cp_a.wait()
                 buf = a_s[:, 0:WW] if rb_mode in ("arena", "vlist") else a_s
-                resolve(buf, sel, gidx, acc_ref[2], acc_ref[3])
+                resolve(buf, sel, gidx, acc_ref[2], acc_ref[3],
+                        tfin=t_final if defer_uv else None)
                 # mark processed; advance to the next distinct chunk.
                 acc_ref[0] = jnp.where(sel, jnp.float32(-2.0), acc_ref[0])
                 return next_chunk(), n + 1
@@ -1431,7 +1561,8 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                 def cp(i):
                     base = pl.multiple_of(rbl_ref[i + 2], LEAF)
                     return pltpu.make_async_copy(
-                        tab_ref.at[pl.ds(woop_rows, a_s.shape[0]),
+                        tab_ref.at[pl.ds(0 if defer_uv else woop_rows,
+                                         a_s.shape[0]),
                                    pl.ds(base, LEAF)],
                         a_s.at[:, pl.ds((i - b0) * LEAF, LEAF)],
                         dma_sems.at[1])
@@ -1459,7 +1590,8 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                             b0 + j < b1
                         )
                         resolve(a_s[:, j * LEAF:(j + 1) * LEAF], sel, gidx,
-                                acc_ref[2], acc_ref[3])
+                                acc_ref[2], acc_ref[3],
+                                tfin=t_final if defer_uv else None)
                 return b0 + ARENA_BATCH
 
             if "nobody2" not in _ABLATE:
@@ -1547,6 +1679,7 @@ def pallas_intersect(
     rb_window: int = 1, rb_prefetch: bool = False, rb_gather: str = "take",
     rb_mode: str = "minloop", leaf_pipeline: bool = False,
     packet_rays: int = PACKET, slab_batch: bool = False,
+    row_skip: bool = False, defer_uv: bool = False,
 ):
     """Full wavefront intersection via the Pallas kernel.
 
@@ -1563,6 +1696,13 @@ def pallas_intersect(
     value (winners are per-ray strict-min best-t)."""
     if packet_rays // 128 not in (8, 16, 32) or packet_rays % 128 != 0:
         raise ValueError("packet_rays must be 1024, 2048 or 4096")
+    if tables.width == 4:
+        # Each 4-wide inner pop pushes up to 4 entries: DFS occupancy is
+        # bounded by 3*depth4 + 1, which the binary sizing rule
+        # (max_depth = stack_depth - 4) does NOT cover. Auto-raise the
+        # SMEM stack (i32 per slot — free) so a deep scene can't silently
+        # clamp pushes and return wrong nearest hits (ADVICE r3).
+        stack_depth = max(stack_depth, 3 * tables.depth4 + 2)
     sub = packet_rays // 128
     n = origin.shape[0]
     npad = -(-n // packet_rays) * packet_rays
@@ -1607,12 +1747,22 @@ def pallas_intersect(
             "MT resolves attributes in place; phase-2 modes and 'mt' are "
             "not wired for double-buffered chunks)"
         )
+    if defer_uv and rb_mode != "vlist":
+        raise ValueError(
+            "defer_uv recomputes winner u/v in the batched phase-2 "
+            "resolve: requires rb_mode='vlist'"
+        )
+    if defer_uv and tables.woop_bf16:
+        raise ValueError("defer_uv needs unpacked Woop rows "
+                         "(tables built with pack_woop=False)")
     na = _num_out_attrs(huv, wt)
     out_planes = 4 + na  # t, u, v, attrs, winner slot
     pps = min(packets_per_step, k)
     while k % pps != 0:
         pps -= 1
     ksteps = k // pps
+    # Row masks come from the batched slab reduction's per-row mins.
+    row_skip = row_skip and slab_batch
 
     kernel = functools.partial(
         _kernel, stack_depth=stack_depth, has_uv=huv, with_tangent=wt,
@@ -1621,12 +1771,13 @@ def pallas_intersect(
         rb_packed=tables.packed, rb_mode=rb_mode,
         leaf_pipeline=leaf_pipeline, bvh_width=tables.width,
         woop_bf16=tables.woop_bf16, sub=sub, slab_batch=slab_batch,
+        row_skip=row_skip, defer_uv=defer_uv,
     )
 
     def kernel_wrap(nb, nm, n4b, n4m, tab, rays_blk, out_blk,
-                    stack, w_s, a_s, a_s2, acc, rbl, sems):
+                    stack, rmask, w_s, a_s, a_s2, acc, rbl, sems):
         kernel(nb, nm, n4b, n4m, tab, rays_blk, out_blk,
-               stack, w_s, a_s, a_s2, acc, rbl, sems)
+               stack, rmask, w_s, a_s, a_s2, acc, rbl, sems)
 
     attr_rows = tables.tab.shape[0] - tables.woop_rows
     # 'fused'/'mt' DMA the whole fused-table chunk into w_s (one copy, one
@@ -1666,8 +1817,11 @@ def pallas_intersect(
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((stack_depth,), jnp.int32),
+            pltpu.SMEM((stack_depth if row_skip else 1,), jnp.int32),
             pltpu.VMEM((w_rows, LEAF), jnp.float32),
-            pltpu.VMEM((attr_rows,
+            # defer_uv: phase-2 chunk DMAs carry the WHOLE fused table
+            # (woop rows included — u/v recompute gathers coefficients).
+            pltpu.VMEM((tables.tab.shape[0] if defer_uv else attr_rows,
                         (ARENA_BATCH if rb_mode in ("arena", "vlist")
                          else rb_window)
                         * LEAF), jnp.float32),
@@ -1718,6 +1872,7 @@ def pallas_trace_bounce(
     *, num_materials: int, seed: int, russian_roulette: bool,
     stack_depth: int = 64, interpret: bool = False,
     packets_per_step: int = 2, leaf_pipeline: bool = False,
+    slab_batch: bool = False, row_skip: bool = False,
 ):
     """FUSED BOUNCE megakernel: packet BVH traversal + leaf MT + winner
     attributes + the WHOLE shading step (material lookup, scatter, sky,
@@ -1731,6 +1886,8 @@ def pallas_trace_bounce(
     """
     if tables.has_uv or tables.with_tangent:
         raise ValueError("pallas_trace_bounce: untextured scenes only")
+    if tables.width == 4:
+        stack_depth = max(stack_depth, 3 * tables.depth4 + 2)  # see pallas_intersect
     n = origin.shape[0]
     npad = -(-n // PACKET) * PACKET
     if npad != n:
@@ -1767,16 +1924,19 @@ def pallas_trace_bounce(
     shade = dict(num_materials=num_materials, seed=seed,
                  russian_roulette=russian_roulette)
 
+    row_skip = row_skip and slab_batch
+
     def kernel_wrap(sc_r, mtab_r, nb, nm, n4b, n4m, tab, rays_blk,
-                    out_blk, stack, w_s, a_s, a_s2, acc, rbl, sems):
+                    out_blk, stack, rmask, w_s, a_s, a_s2, acc, rbl, sems):
         _kernel(nb, nm, n4b, n4m, tab, rays_blk, out_blk,
-                stack, w_s, a_s, a_s2, acc, rbl, sems,
+                stack, rmask, w_s, a_s, a_s2, acc, rbl, sems,
                 stack_depth=stack_depth, has_uv=False, with_tangent=False,
                 num_out=na, packets_per_step=pps, rb_window=1,
                 rb_prefetch=False, rb_gather="take",
                 rb_packed=tables.packed, rb_mode="fused",
                 leaf_pipeline=leaf_pipeline, bvh_width=tables.width,
-                woop_bf16=tables.woop_bf16,
+                woop_bf16=tables.woop_bf16, slab_batch=slab_batch,
+                row_skip=row_skip,
                 shade=shade, sc_ref=sc_r, mtab_ref=mtab_r)
 
     attr_rows = tables.tab.shape[0] - tables.woop_rows
@@ -1813,6 +1973,7 @@ def pallas_trace_bounce(
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((stack_depth,), jnp.int32),
+            pltpu.SMEM((stack_depth if row_skip else 1,), jnp.int32),
             pltpu.VMEM((w_rows, LEAF), jnp.float32),
             pltpu.VMEM((attr_rows, LEAF), jnp.float32),
             pltpu.VMEM((attr_rows, LEAF), jnp.float32),
@@ -1883,7 +2044,9 @@ def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,
                             leaf_pipeline: bool = False,
                             width: int = 2, pack_woop: bool = False,
                             packet_rays: int = PACKET,
-                            slab_batch: bool = False):
+                            slab_batch: bool = False,
+                            row_skip: bool = False,
+                            defer_uv: bool = False):
     """Rich IntersectFn backed by the Pallas kernel, or None if the scene
     doesn't fit the VMEM budget. The returned function carries its
     PallasSceneTables as `.tables` (slot_tri maps winner slots to tris)."""
@@ -1900,7 +2063,8 @@ def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,
                                 rb_prefetch=rb_prefetch, rb_gather=rb_gather,
                                 rb_mode=rb_mode, leaf_pipeline=leaf_pipeline,
                                 packet_rays=packet_rays,
-                                slab_batch=slab_batch)
+                                slab_batch=slab_batch, row_skip=row_skip,
+                                defer_uv=defer_uv)
 
     intersect.tables = tables
     return intersect

@@ -359,6 +359,8 @@ class Renderer:
                 pipe = self.cfg.pallas_leaf_pipeline
                 prays = self.cfg.pallas_packet_rays
                 sbatch = self.cfg.pallas_slab_batch
+                rskip = self.cfg.pallas_row_skip
+                duv = self.cfg.pallas_defer_uv
                 self._accel_data = tables
 
                 def bind(sc, acc):
@@ -368,7 +370,8 @@ class Renderer:
                             packets_per_step=pps, rb_window=rbw,
                             rb_prefetch=rbp, rb_gather=rbg, rb_mode=rbm,
                             leaf_pipeline=pipe, packet_rays=prays,
-                            slab_batch=sbatch,
+                            slab_batch=sbatch, row_skip=rskip,
+                            defer_uv=duv,
                         )
                     )
 
@@ -550,6 +553,8 @@ class Renderer:
         depth = cfg.traversal_stack_depth
         pps = cfg.pallas_packets_per_step
         pipe = cfg.pallas_leaf_pipeline
+        sbatch = cfg.pallas_slab_batch
+        rskip = cfg.pallas_row_skip
 
         def bounce_bind(acc):
             def bounce(o, d, thr, rad, alive, pix, skey, bounce_i):
@@ -557,7 +562,7 @@ class Renderer:
                     o, d, thr, rad, alive, pix, acc, mtab, skey, bounce_i,
                     num_materials=num_m, seed=seed, russian_roulette=rr,
                     stack_depth=depth, packets_per_step=pps,
-                    leaf_pipeline=pipe,
+                    leaf_pipeline=pipe, slab_batch=sbatch, row_skip=rskip,
                 )
 
             if cfg.wave_compact_group > 0:
@@ -575,6 +580,7 @@ class Renderer:
                         bounce_i, num_materials=num_m, seed=seed,
                         russian_roulette=rr, stack_depth=depth,
                         packets_per_step=pps, leaf_pipeline=pipe,
+                        slab_batch=sbatch, row_skip=rskip,
                     )
 
                 return bounce
