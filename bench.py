@@ -224,6 +224,11 @@ def main():
         # Batched slab reductions: one vector->scalar drain per inner visit
         # instead of one per child (bit-identical).
         pallas_slab_batch=os.environ.get("TRACY_BENCH_SLABB", "1") == "1",
+        # Row skip: run the leaf MT only for ray rows whose pushed slab
+        # mask is live (bit-identical; see config.pallas_row_skip).
+        pallas_row_skip=os.environ.get("TRACY_BENCH_ROWSKIP", "1") == "1",
+        # Deferred winner-u/v extraction (vlist phase-2 recompute).
+        pallas_defer_uv=os.environ.get("TRACY_BENCH_DEFERUV", "0") == "1",
     )
     r = Renderer(cfg)
     state = init_state(cfg)
