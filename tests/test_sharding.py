@@ -152,3 +152,32 @@ def test_sharded_packet_render_bit_identical():
         np.asarray(st_single.accum), np.asarray(st_shard.accum)
     )
     assert int(rays_single) == int(rays_shard)
+
+
+@pytest.mark.parametrize("n_data", [1, 2, 4, 8])
+def test_scaling_shape_overhead_1080p(n_data):
+    """Structural per-shard overhead at 1080p shapes stays < 5% for any
+    'data' mesh split (VERDICT r3 #8): dead-row tile padding (pick_tile
+    adapts the tile shape to the shard's row band) plus wave compaction
+    padding (pick_compact_group bounds it). Counted analytically from the
+    same functions the renderer uses — wall clock on a CPU mesh is
+    meaningless."""
+    from tracy_tpu.accel.reorder import pick_compact_group
+    from tracy_tpu.render.renderer import pick_tile
+
+    w, h = 1920, 1080
+    assert h % n_data == 0
+    rows_shard = h // n_data
+    th, tw = pick_tile(rows_shard, w)
+    assert th > 0 and th * tw == 1024 and w % tw == 0
+    rpad = (-rows_shard) % th
+    padded_rays = n_data * (rows_shard + rpad) * w
+    tile_overhead = padded_rays / (w * h) - 1.0
+    assert tile_overhead < 0.05, (n_data, th, tw, tile_overhead)
+
+    # Bounce-wave compaction: each shard pads its wave to a multiple of
+    # its compaction group.
+    shard_rays = rows_shard * w
+    g = pick_compact_group(shard_rays)
+    compact_overhead = (-(-shard_rays // g) * g) / shard_rays - 1.0
+    assert compact_overhead < 0.05, (n_data, g, compact_overhead)

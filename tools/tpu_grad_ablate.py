@@ -76,9 +76,16 @@ def main() -> int:
     print("[gab] target rendered", flush=True)
 
     def timed(label, fn, *args):
+        # args[0] is always the TrainableParams pytree: perturb one albedo
+        # element by the loop index so the body is NOT loop-invariant (an
+        # invariant body gets hoisted out of the fori — the first cut of
+        # this probe reported 0.2 ms for a 307K-ray render).
         def prog(*a):
             def body(i, carry):
-                out = fn(*a)
+                p = a[0]
+                p = p._replace(albedo=p.albedo.at[0, 0].add(
+                    jnp.float32(i) * 1e-12))
+                out = fn(p, *a[1:])
                 leaf = jax.tree_util.tree_leaves(out)[0]
                 return carry + jnp.sum(leaf * 0.0) + jnp.float32(i) * 0.0
             return jax.lax.fori_loop(0, reps, body, jnp.float32(0))

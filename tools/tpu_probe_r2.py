@@ -144,11 +144,14 @@ def main() -> int:
     print("[probe] building wave-2 rays...", flush=True)
     isect_x = make_packet_intersector(scene, bvh, with_tangent=False)
 
-    def wave2(o, d, act):
-        hit, attrs = pallas_intersect(o, d, act, tables, rb_window=RBW,
+    # scene/tables ride as jit ARGUMENTS: closure-captured device arrays
+    # become HLO literals and a textured scene's atlas blows the remote
+    # compile request limit (HTTP 413 — the helmet lesson, NOTES.md).
+    def wave2(sc, tb, o, d, act):
+        hit, attrs = pallas_intersect(o, d, act, tb, rb_window=RBW,
                                       rb_prefetch=RBP, rb_gather=RBG,
                                       rb_mode=RBM)
-        params = mtl.gather_surface_params(scene, attrs.material, attrs.uv,
+        params = mtl.gather_surface_params(sc, attrs.material, attrs.uv,
                                            attrs.normal, attrs.tangent)
         r1 = rng.uniform(pixf, jnp.uint32(0), 0, DRAW_SPHERE_Z)
         r2 = rng.uniform(pixf, jnp.uint32(0), 0, DRAW_SPHERE_PHI)
@@ -169,7 +172,7 @@ def main() -> int:
         act2 = jnp.asarray(z["act2"])
         print(f"[probe] wave2 rays loaded from {rays_file}", flush=True)
     else:
-        o2, d2, act2 = jax.jit(wave2)(o1, d1, act1)
+        o2, d2, act2 = jax.jit(wave2)(scene, tables, o1, d1, act1)
         o2.block_until_ready()
         if rays_file:
             np.savez(rays_file, o2=np.asarray(o2), d2=np.asarray(d2),

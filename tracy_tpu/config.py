@@ -172,6 +172,13 @@ class RenderConfig:
     # pallas_slab_batch (silently off otherwise).
     pallas_row_skip: bool = True
 
+    # VMEM budget for the Pallas kernel's RESIDENT BVH node tables (the
+    # per-triangle tables stream from HBM). ~1.3 B/triangle at the default
+    # chunk-SAH leaf width, so 8 MB holds ~6M triangles; scenes past the
+    # budget fall back to the XLA packet path with a loud RuntimeWarning
+    # (~10-30x slower). v5e has 128 MB VMEM — raise this for huge scenes.
+    pallas_vmem_budget: int = 8 * 1024 * 1024
+
     # Defer winner-u/v extraction out of the MT row loop (vlist only):
     # phase 2 re-gathers the winner's Woop coefficient columns and
     # recomputes u/v from the stored winner t with the SAME expression

@@ -199,15 +199,26 @@ def make_training_intersector(scene: SceneArrays, cfg: RenderConfig,
     on_tpu = _jax.default_backend() not in ("cpu",)
     use_pallas = cfg.use_pallas and (on_tpu or interpret)
 
+    # The FULL production kernel config (round-4 fix: the training path
+    # used to run a width-2 tree without slab_batch/row_skip — the train
+    # step was forward-bound at ~3x the production render's cost).
+    kernel_knobs = dict(
+        stack_depth=cfg.traversal_stack_depth, interpret=interpret,
+        rb_mode=cfg.pallas_rb_mode, width=cfg.pallas_bvh_width,
+        slab_batch=cfg.pallas_slab_batch, row_skip=cfg.pallas_row_skip,
+        defer_uv=(cfg.pallas_defer_uv and cfg.pallas_rb_mode == "vlist"),
+        packet_rays=cfg.pallas_packet_rays,
+    )
+
     if needs_geometry_grads:
         if use_pallas:
             from tracy_tpu.ops.pallas_packet import make_pallas_intersector
 
-            bvh, _ = build_packet_bvh(scene, leaf_size=cfg.pallas_leaf_size)
+            bvh, _ = build_packet_bvh(scene, leaf_size=cfg.pallas_leaf_size,
+                                      cost_mode="chunks")
             base = make_pallas_intersector(
                 scene, bvh, with_tangent=True,
-                stack_depth=cfg.traversal_stack_depth, interpret=interpret,
-                return_slot=True, rb_mode=cfg.pallas_rb_mode,
+                return_slot=True, **kernel_knobs,
             )
             if base is not None:
                 inner = base
@@ -237,12 +248,15 @@ def make_training_intersector(scene: SceneArrays, cfg: RenderConfig,
             make_pallas_intersector, nondiff_intersector,
         )
 
+        from tracy_tpu.scene.scene import TEX_NORMAL
+        import numpy as _np
+
+        wt = bool((_np.asarray(
+            scene.materials.tex_index)[:, TEX_NORMAL] >= 0).any())
         bvh, _ = build_packet_bvh(scene, leaf_size=cfg.pallas_leaf_size,
                                   cost_mode="chunks")
         isect = make_pallas_intersector(
-            scene, bvh, with_tangent=True,
-            stack_depth=cfg.traversal_stack_depth, interpret=interpret,
-            rb_mode=cfg.pallas_rb_mode,
+            scene, bvh, with_tangent=wt, **kernel_knobs,
         )
         if isect is not None:
             wrapped = nondiff_intersector(isect)

@@ -8,9 +8,11 @@ kernel runs the same algorithm on-core:
 * the NODE tables (bounds + meta) live in VMEM; the per-triangle tables
   (Woop transforms + attributes) live in HBM and are DMA'd into VMEM
   scratch one 128-slot leaf chunk at a time. The VMEM budget therefore
-  scales with node count only: 48 B/node -> ~170K nodes in the 8 MB
-  budget (~260K triangles at the default leaf size). Larger scenes fall
-  back to the XLA packet path;
+  scales with node count only: 48 B/node binary + 128 B/4-wide node,
+  ~1.3 B/triangle measured at the default chunk-SAH leaf width (115
+  tris/leaf on the dragon) -> the 8 MB budget holds ~6M triangles.
+  Larger scenes fall back to the XLA packet path (with a loud warning:
+  the fallback is ~10-30x slower);
 * the shared traversal stack is an SMEM scratch array with a scalar sp in
   the while-loop carry; node fetches are scalar-indexed VMEM reads;
 * a leaf visit intersects its whole 128-slot chunk in a [128 tris,

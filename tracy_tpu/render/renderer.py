@@ -46,6 +46,28 @@ def init_state(cfg: RenderConfig) -> RenderState:
     )
 
 
+def pick_tile(num_rows: int, w: int) -> Tuple[int, int]:
+    """Packet tile shape (th, tw), th*tw = 1024 rays.
+
+    32x32 is the most coherent (square footprint) and stays the default
+    whenever its dead-row padding is negligible (<=2% of the band). When a
+    row band is far from a 32-multiple — 'data'-sharded images hand each
+    shard H/n rows, e.g. 1080/8 = 135 — flatter tiles pad less: pick the
+    candidate minimizing pad, preferring taller tiles on ties. Returns
+    (0, 0) when no tile width divides w (scanline fallback)."""
+    best = (0, 0)
+    best_pad = None
+    for th, tw in ((32, 32), (16, 64), (8, 128)):
+        if w % tw:
+            continue
+        pad = (-num_rows) % th
+        if th == 32 and pad * 50 <= num_rows:  # <=2%: keep the square tile
+            return (32, 32)
+        if best_pad is None or pad < best_pad:
+            best, best_pad = (th, tw), pad
+    return best
+
+
 def sample_radiance_rows(
     scene: SceneArrays,
     cfg: RenderConfig,
@@ -76,19 +98,21 @@ def sample_radiance_rows(
 
     rng = RngSpec(cfg.rng, cfg.seed)
 
-    # Tile the pixel order so each traversal packet covers a square image
+    # Tile the pixel order so each traversal packet covers a compact image
     # tile instead of a thin scanline strip — much smaller BVH footprint per
     # packet. Pure reshape/transpose (zero gathers); untile() restores image
-    # order. Tiles are 32x32 = one 1024-ray packet. Row bands that are NOT
-    # a tile multiple (1080 % 32 = 24: the 1080p headline!) are PADDED with
+    # order. Tiles hold 1024 rays = one packet. Row bands that are NOT a
+    # tile multiple (1080 % 32 = 24: the 1080p headline!) are PADDED with
     # dead rows — otherwise they silently degrade to 1024x1 scanline
     # packets, each with a huge BVH footprint (measured ~10% frame cost at
     # 1080p even before visit-count effects). Pad lanes trace dead: not
-    # ray-counted, results discarded.
-    tile = 32
-    rpad = 0
-    if cfg.accel in ("packet", "tlas") and w % tile == 0 and num_rows % tile:
-        rpad = (-num_rows) % tile
+    # ray-counted, results discarded. The tile SHAPE adapts to the shard's
+    # row count (pick_tile): a 'data'-sharded 1080p image gives each of 8
+    # shards 135 rows, which 32-row tiles would pad +18.5%; 8x128 tiles
+    # pad +0.7% (the <5% scaling-overhead budget, tests/test_sharding.py).
+    tile_h, tile_w = pick_tile(num_rows, w) if cfg.accel in (
+        "packet", "tlas") else (0, 0)
+    rpad = (-num_rows) % tile_h if tile_h else 0
     rows_r = num_rows + rpad
     rows = row_offset + jnp.arange(rows_r, dtype=jnp.int32)  # global rows
     cols = jnp.arange(w, dtype=jnp.int32)
@@ -101,19 +125,17 @@ def sample_radiance_rows(
         if rpad
         else None
     )
-    use_tiles = (
-        cfg.accel in ("packet", "tlas") and rows_r % tile == 0 and w % tile == 0
-    )
+    use_tiles = tile_h > 0
 
     def tile_fold(x):  # [R, W, ...] -> [R*W, ...] in tile-major order
         extra = x.shape[2:]
-        x = x.reshape((rows_r // tile, tile, w // tile, tile) + extra)
+        x = x.reshape((rows_r // tile_h, tile_h, w // tile_w, tile_w) + extra)
         x = jnp.swapaxes(x, 1, 2)
         return x.reshape((rows_r * w,) + extra)
 
     def tile_unfold(x):  # inverse of tile_fold
         extra = x.shape[1:]
-        x = x.reshape((rows_r // tile, w // tile, tile, tile) + extra)
+        x = x.reshape((rows_r // tile_h, w // tile_w, tile_h, tile_w) + extra)
         x = jnp.swapaxes(x, 1, 2)
         return x.reshape((rows_r, w) + extra)
 
@@ -331,12 +353,24 @@ class Renderer:
                     width=self.cfg.pallas_bvh_width,
                     pack_woop=self.cfg.pallas_woop_bf16,
                 )
-                if cand.vmem_bytes <= 8 * 1024 * 1024:  # node tables (VMEM)
+                budget = self.cfg.pallas_vmem_budget
+                if cand.vmem_bytes <= budget:  # node tables (VMEM)
                     tables = cand
                 else:
+                    import warnings
+
                     from tracy_tpu.utils.log import log
 
-                    log("node tables exceed Pallas VMEM budget; using XLA packet path")
+                    msg = (
+                        f"BVH node tables ({cand.vmem_bytes / 1e6:.1f} MB) "
+                        f"exceed the Pallas VMEM budget "
+                        f"({budget / 1e6:.1f} MB) — falling back to the "
+                        "XLA packet path, which is ~10-30x SLOWER. Raise "
+                        "cfg.pallas_vmem_budget (v5e has 128 MB VMEM) or "
+                        "cfg.pallas_leaf_size to shrink the node count."
+                    )
+                    log(msg)
+                    warnings.warn(msg, RuntimeWarning, stacklevel=2)
             if tables is None:
                 # XLA packet path: narrower leaves (its leaf test cost
                 # scales with leaf_size, unlike the kernel's).
