@@ -7,6 +7,15 @@ and left-drag looks around; any camera change is a camera cut that resets
 accumulation. Window title telemetry (MRays/s @ fps) becomes the figure
 title, refreshed ~1 Hz.
 
+While the camera is moving, frames render at PREVIEW RESOLUTION (1/4 in
+each dimension = 16x fewer rays, -preview-scale) and upscale for display,
+so look-around stays interactive even at 1080p targets; the first still
+frame snaps back to full resolution and restarts accumulation. Resizing
+the window re-derives the render resolution and the camera projection
+(the reference's WM_SIZE -> Camera::UpdateProjection path,
+win_raytracer.cpp:118-124, camera.h:44-55) — on TPU a resize implies a
+recompile, so it happens once per new size, not per frame.
+
 Implemented with matplotlib (the only GUI stack in the image — no X11 dev
 headers for a native window). Run:
 
@@ -24,6 +33,21 @@ import time
 import numpy as np
 
 
+def preview_config(cfg, scale: int):
+    """Downscaled copy of cfg for camera-motion preview frames (None when
+    scale <= 1 or the image is already tiny). Dimensions snap to multiples
+    of 32 so packets keep square tiles."""
+    if scale <= 1:
+        return None
+    w = max(64, (cfg.width // scale) // 32 * 32)
+    h = max(32, (cfg.height // scale) // 32 * 32)
+    if w >= cfg.width or h >= cfg.height:
+        return None
+    import dataclasses as _dc
+
+    return _dc.replace(cfg, width=w, height=h)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("-scene", default=None)
@@ -35,6 +59,8 @@ def main(argv=None):
     p.add_argument("-cpu", action="store_true")
     p.add_argument("-frames", type=int, default=0,
                    help="headless: render N frames then save and exit")
+    p.add_argument("-preview-scale", type=int, default=4,
+                   help="camera-motion preview downscale (1 = off)")
     p.add_argument("-out", default="viewer.png")
     args = p.parse_args(argv)
 
@@ -91,6 +117,14 @@ def main(argv=None):
     im = ax.imshow(np.zeros((cfg.height, cfg.width, 3), np.uint8))
     mouse_pos = [None]
 
+    # Preview-resolution renderer for camera motion (16x fewer rays at the
+    # default scale): its own Renderer + state so both jit programs stay
+    # cached across mode flips.
+    pcfg = preview_config(cfg, args.preview_scale)
+    prenderer = Renderer(pcfg) if pcfg is not None else None
+    pstate = init_state(pcfg) if pcfg is not None else None
+    previewing = False
+
     fig.canvas.mpl_connect("key_press_event", lambda e: controller.key_down(e.key or ""))
     fig.canvas.mpl_connect("key_release_event", lambda e: controller.key_up(e.key or ""))
     fig.canvas.mpl_connect(
@@ -103,6 +137,17 @@ def main(argv=None):
     fig.canvas.mpl_connect(
         "motion_notify_event", lambda e: mouse_pos.__setitem__(0, (e.x, e.y))
     )
+    # Window resize -> new render resolution + projection (the reference's
+    # WM_SIZE -> Camera::UpdateProjection path). Snapped to 32-multiples;
+    # applied in the loop (a resize implies a jit recompile on TPU).
+    resize_req = [None]
+
+    def _on_resize(e):
+        w2 = max(64, int(e.width) // 32 * 32)
+        h2 = max(32, int(e.height) // 32 * 32)
+        resize_req[0] = (w2, h2)
+
+    fig.canvas.mpl_connect("resize_event", _on_resize)
 
     last_title = time.perf_counter()
     last_frame = time.perf_counter()
@@ -112,21 +157,57 @@ def main(argv=None):
         dt = min(now - last_frame, 0.25) * 60.0  # reference dt is in frames-ish
         last_frame = now
 
-        if controller.update(dt, mouse_pos[0]):
+        if resize_req[0] is not None and resize_req[0] != (cfg.width,
+                                                           cfg.height):
+            w2, h2 = resize_req[0]
+            resize_req[0] = None
+            cfg = dataclasses.replace(cfg, width=w2, height=h2)
+            controller.state = dataclasses.replace(
+                controller.state, aspect=w2 / max(h2, 1))
+            scene = dataclasses.replace(scene,
+                                        camera=controller.state.to_camera())
+            renderer = Renderer(cfg)
+            state = init_state(cfg)
+            pcfg = preview_config(cfg, args.preview_scale)
+            prenderer = Renderer(pcfg) if pcfg is not None else None
+            pstate = init_state(pcfg) if pcfg is not None else None
+            log(f"resize -> {w2}x{h2} (projection updated)")
+        elif resize_req[0] is not None:
+            resize_req[0] = None
+
+        moved = controller.update(dt, mouse_pos[0])
+        if moved:
             # Camera cut: rebuild camera arrays, reset accumulation
             # (TracyEvent::eCameraCut, cpu_trace.cpp:76-78).
             scene = dataclasses.replace(scene, camera=controller.state.to_camera())
             state = init_state(cfg)
             renderer.total_rays = 0.0
             renderer.timer.reset()
+            if prenderer is not None:
+                pstate = init_state(pcfg)
+                previewing = True
+        elif previewing:
+            previewing = False  # first still frame: back to full res
+            state = init_state(cfg)
 
-        state, _ = renderer.step(scene, state)
-        im.set_data(renderer.display_u8(state))
+        if previewing and prenderer is not None:
+            pstate, _ = prenderer.step(scene, pstate)
+            img = np.asarray(prenderer.display_u8(pstate))
+            # nearest-neighbor upscale to the display size
+            img = img.repeat(args.preview_scale, axis=0).repeat(
+                args.preview_scale, axis=1)[:cfg.height, :cfg.width]
+            im.set_data(img)
+        else:
+            state, _ = renderer.step(scene, state)
+            im.set_data(renderer.display_u8(state))
 
         if now - last_title > 1.0:
+            r_live = prenderer if previewing and prenderer else renderer
+            st_live = pstate if previewing and prenderer else state
             fig.suptitle(
-                f"{builder.name} — {renderer.mrays_per_sec:.2f} MRays/s @ "
-                f"{int(state.frame) / max(renderer.timer.total, 1e-9):.2f} fps"
+                f"{builder.name} — {r_live.mrays_per_sec:.2f} MRays/s @ "
+                f"{int(st_live.frame) / max(r_live.timer.total, 1e-9):.2f} "
+                f"fps{' [preview]' if previewing else ''}"
             )
             last_title = now
         fig.canvas.draw_idle()

@@ -47,8 +47,10 @@ ACCEL_TLAS = "tlas"  # two-level TLAS/BLAS, stitched flat -> packet traversal
 ACCELS = (ACCEL_NONE, ACCEL_BVH, ACCEL_PACKET, ACCEL_TLAS)
 
 RNG_FAST = "fast"  # counter-based PCG-style hash (cheap, TPU friendly)
+RNG_XORSHIFT = "xorshift"  # xorshift32 permutation (reference random.h:22)
+RNG_LCG = "lcg"  # Numerical-Recipes LCG (reference random.h:36)
 RNG_THREEFRY = "threefry"  # jax.random keyed per (pixel, frame, bounce)
-RNGS = (RNG_FAST, RNG_THREEFRY)
+RNGS = (RNG_FAST, RNG_XORSHIFT, RNG_LCG, RNG_THREEFRY)
 
 
 @dataclasses.dataclass(frozen=True)
