@@ -229,6 +229,8 @@ def main():
         pallas_row_skip=os.environ.get("TRACY_BENCH_ROWSKIP", "1") == "1",
         # Deferred winner-u/v extraction (vlist phase-2 recompute).
         pallas_defer_uv=os.environ.get("TRACY_BENCH_DEFERUV", "0") == "1",
+        # Point-form MT (statistical-parity; see config.pallas_mt_point).
+        pallas_mt_point=os.environ.get("TRACY_BENCH_MTPOINT", "0") == "1",
     )
     r = Renderer(cfg)
     state = init_state(cfg)
@@ -333,6 +335,7 @@ def main():
             "compact": cfg.wave_compact_group, "pallas": cfg.use_pallas,
             "packet_rays": cfg.pallas_packet_rays,
             "defer_uv": cfg.pallas_defer_uv,
+            "mt_point": cfg.pallas_mt_point,
         },
     }))
 

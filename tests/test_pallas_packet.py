@@ -694,3 +694,61 @@ def test_pallas_row_skip_defer_uv_combined():
                                   np.asarray(ac.normal)[m])
     np.testing.assert_array_equal(np.asarray(a0.material)[m],
                                   np.asarray(ac.material)[m])
+
+
+@pytest.mark.parametrize("width", [2, 4])
+def test_pallas_mt_point(width):
+    """Point-form MT (u = (R(o + t d - p0))_x, 11 plane ops vs 26) is
+    algebraically equal to the two-chain form but ulp-different: validate
+    statistically against the default kernel (knife-edge winner flips
+    only) and exactly on t for agreeing hits."""
+    b = default_scene(32, 24)
+    scene = b.build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    i0 = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_mode="vlist",
+                                 width=width, slab_batch=True, row_skip=True)
+    ip = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_mode="vlist",
+                                 width=width, slab_batch=True, row_skip=True,
+                                 mt_point=True)
+    o, d = _rays_for(scene, 4096, seed=23)
+    act = jnp.ones(4096, bool)
+    h0, a0 = i0(o, d, act)
+    hp, ap = ip(o, d, act)
+    m0, mp = np.asarray(h0.mask), np.asarray(hp.mask)
+    assert (m0 == mp).mean() >= 0.999
+    m = m0 & mp
+    t0, tp = np.asarray(h0.t)[m], np.asarray(hp.t)[m]
+    # t comes from the unchanged z-chain; only WINNERS can differ.
+    close = np.abs(t0 - tp) <= 1e-5 * np.abs(t0) + 1e-6
+    assert close.mean() >= 0.999
+    np.testing.assert_allclose(np.asarray(a0.normal)[m][close],
+                               np.asarray(ap.normal)[m][close],
+                               rtol=1e-2, atol=1e-2)
+
+
+def test_pallas_mt_point_defer_uv_exact():
+    """With BOTH mt_point and defer_uv the phase-2 recompute mirrors the
+    point-form expression tree — exact vs the in-loop extraction."""
+    b = default_scene(32, 24)
+    scene = b.build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    i0 = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_mode="vlist", width=4,
+                                 slab_batch=True, row_skip=True,
+                                 mt_point=True)
+    ic = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_mode="vlist", width=4,
+                                 slab_batch=True, row_skip=True,
+                                 mt_point=True, defer_uv=True)
+    o, d = _rays_for(scene, 3072, seed=29)
+    act = jnp.ones(3072, bool)
+    h0, a0 = i0(o, d, act)
+    hc, ac = ic(o, d, act)
+    np.testing.assert_array_equal(np.asarray(h0.mask), np.asarray(hc.mask))
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(hc.t))
+    m = np.asarray(h0.mask)
+    np.testing.assert_array_equal(np.asarray(h0.uv)[m], np.asarray(hc.uv)[m])
+    np.testing.assert_array_equal(np.asarray(a0.normal)[m],
+                                  np.asarray(ac.normal)[m])

@@ -31,6 +31,7 @@ PRAYS = int(os.environ.get("PROBE_PRAYS", 1024))  # rays per packet
 SLABB = os.environ.get("PROBE_SLABB", "0") == "1"  # batched slab reduces
 RSKIP = os.environ.get("PROBE_RSKIP", "0") == "1"  # row-skip leaf MT
 DUV = os.environ.get("PROBE_DUV", "0") == "1"  # deferred u/v (vlist)
+MTP = os.environ.get("PROBE_MTPOINT", "0") == "1"  # point-form MT
 COST = os.environ.get("PROBE_COST", "tris")  # 'chunks' = the bench's build
 PPS_LIST = tuple(int(x) for x in os.environ.get("PROBE_PPS", "4,8,16,32").split(","))
 SKIP_C = os.environ.get("PROBE_SKIP_C", "0") == "1"
@@ -108,7 +109,7 @@ def main() -> int:
                                            rb_gather=RBG, rb_mode=RBM,
                                            packet_rays=PRAYS,
                                            slab_batch=SLABB, row_skip=RSKIP,
-                                           defer_uv=DUV)
+                                           defer_uv=DUV, mt_point=MTP)
                 return s + jnp.sum(hit.t
                                    * 0.0) + jnp.sum(jnp.where(hit.mask, 1.0, 0.0)), hit.t[0]
             return jax.lax.fori_loop(0, reps, body, (jnp.float32(0), jnp.float32(0)))

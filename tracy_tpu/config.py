@@ -181,6 +181,14 @@ class RenderConfig:
     # (~10-30x slower). v5e has 128 MB VMEM — raise this for huge scenes.
     pallas_vmem_budget: int = 8 * 1024 * 1024
 
+    # Point-form Möller–Trumbore: compute the hit point p = o + t d once
+    # per (tri, ray) and evaluate u/v as single R-row contractions of p —
+    # 11 plane ops for both coordinates vs the two-chain form's 26.
+    # Algebraically identical, ulp-different (winner flips possible on
+    # knife edges): a statistical-parity knob like woop_bf16, validated
+    # by the on-chip gate + 9-scene parity rather than bit-identity.
+    pallas_mt_point: bool = False
+
     # Defer winner-u/v extraction out of the MT row loop (vlist only):
     # phase 2 re-gathers the winner's Woop coefficient columns and
     # recomputes u/v from the stored winner t with the SAME expression

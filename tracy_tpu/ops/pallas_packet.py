@@ -456,7 +456,8 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
             bvh_width: int = 2, woop_bf16: bool = False,
             shade: dict = None, mtab_ref=None, sc_ref=None,
             sub: int = 8, slab_batch: bool = False,
-            row_skip: bool = False, defer_uv: bool = False):
+            row_skip: bool = False, defer_uv: bool = False,
+            mt_point: bool = False):
     """One grid step = `packets_per_step` packets, unrolled with STATIC
     packet indices. Round 1 looped packets with fori and indexed
     rays_ref/out_ref by the traced loop index — a value-level dynamic
@@ -494,7 +495,7 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
                              shade_keys=(sample_key, bounce),
                              mtab_ref=mtab_ref, sub=sub,
                              slab_batch=slab_batch, row_skip=row_skip,
-                             defer_uv=defer_uv)
+                             defer_uv=defer_uv, mt_point=mt_point)
 
             @pl.when(jnp.logical_not(any_live))
             def _(pkt=pkt):
@@ -515,7 +516,7 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
                          leaf_pipeline=leaf_pipeline, bvh_width=bvh_width,
                          woop_bf16=woop_bf16, sub=sub,
                          slab_batch=slab_batch, row_skip=row_skip,
-                         defer_uv=defer_uv)
+                         defer_uv=defer_uv, mt_point=mt_point)
             continue
         # Dead-packet fast path: per-wave compaction leaves late waves
         # mostly dead packets, and the full body's plumbing floor (ray
@@ -536,7 +537,7 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
                          leaf_pipeline=leaf_pipeline, bvh_width=bvh_width,
                          woop_bf16=woop_bf16, sub=sub,
                          slab_batch=slab_batch, row_skip=row_skip,
-                         defer_uv=defer_uv)
+                         defer_uv=defer_uv, mt_point=mt_point)
 
         @pl.when(jnp.logical_not(any_live))
         def _(pkt=pkt):
@@ -558,7 +559,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                  woop_bf16: bool = False, shade: dict = None,
                  shade_keys=None, mtab_ref=None, sub: int = 8,
                  slab_batch: bool = False, row_skip: bool = False,
-                 defer_uv: bool = False):
+                 defer_uv: bool = False, mt_point: bool = False):
     from tracy_tpu.ops import pallas_shade as _ps
 
     woop_rows = 8 if woop_bf16 else WOOP_ROWS
@@ -698,12 +699,19 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
         if defer_uv:
             a_off = woop_rows  # buf holds the whole fused table
             Wg = [pick(kk) for kk in range(8)]
-            opx_w = Wg[0] * ox + Wg[1] * oy + Wg[2] * oz + Wg[3]
-            dpx_w = Wg[0] * dx + Wg[1] * dy + Wg[2] * dz
-            opy_w = Wg[4] * ox + Wg[5] * oy + Wg[6] * oz + Wg[7]
-            dpy_w = Wg[4] * dx + Wg[5] * dy + Wg[6] * dz
-            u_sel = opx_w + tfin * dpx_w
-            v_sel = opy_w + tfin * dpy_w
+            if mt_point:
+                pxw = ox + tfin * dx
+                pyw = oy + tfin * dy
+                pzw = oz + tfin * dz
+                u_sel = Wg[0] * pxw + Wg[1] * pyw + Wg[2] * pzw + Wg[3]
+                v_sel = Wg[4] * pxw + Wg[5] * pyw + Wg[6] * pzw + Wg[7]
+            else:
+                opx_w = Wg[0] * ox + Wg[1] * oy + Wg[2] * oz + Wg[3]
+                dpx_w = Wg[0] * dx + Wg[1] * dy + Wg[2] * dz
+                opy_w = Wg[4] * ox + Wg[5] * oy + Wg[6] * oz + Wg[7]
+                dpy_w = Wg[4] * dx + Wg[5] * dy + Wg[6] * dz
+                u_sel = opx_w + tfin * dpx_w
+                v_sel = opy_w + tfin * dpy_w
             acc_ref[2] = jnp.where(sel, u_sel, acc_ref[2])
             acc_ref[3] = jnp.where(sel, v_sel, acc_ref[3])
         w_sel = 1.0 - u_sel - v_sel
@@ -782,6 +790,11 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
             W = [wcol(k) for k in range(12)]
         else:
             W = [wr(k) for k in range(12)]
+        if "mtnotr" in _ABLATE:
+            # Timing probe: constant coefficient columns — no wr() reads,
+            # no [1,128]->[LEAF,1] relayouts (results wrong by design).
+            W = [jnp.full((LEAF, 1), jnp.float32(0.01 * (k + 1)))
+                 for k in range(12)]
 
         mt_comps = ()
         if rb_mode == "mt" and "noreadback" not in _ABLATE:
@@ -864,6 +877,16 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                 # sizes the transform-math share of the MT row loop.
                 uu = tt * jnp.float32(1e-6)
                 vv = tt * jnp.float32(2e-6)
+            elif mt_point:
+                # Point form: u = (R(p - p0))_x with p = o + t d — 11
+                # plane ops for BOTH u and v vs the two-chain form's 26
+                # (algebraically equal, ulp-different: statistical-parity
+                # knob like woop_bf16; gate/parity validate on chip).
+                px = orx + tt * drx
+                py = ory + tt * dry
+                pz = orz + tt * drz
+                uu = W[0] * px + W[1] * py + W[2] * pz + W[3]
+                vv = W[4] * px + W[5] * py + W[6] * pz + W[7]
             else:
                 opx = W[0] * orx + W[1] * ory + W[2] * orz + W[3]
                 dpx = W[0] * drx + W[1] * dry + W[2] * drz
@@ -1682,6 +1705,7 @@ def pallas_intersect(
     rb_mode: str = "minloop", leaf_pipeline: bool = False,
     packet_rays: int = PACKET, slab_batch: bool = False,
     row_skip: bool = False, defer_uv: bool = False,
+    mt_point: bool = False,
 ):
     """Full wavefront intersection via the Pallas kernel.
 
@@ -1773,7 +1797,7 @@ def pallas_intersect(
         rb_packed=tables.packed, rb_mode=rb_mode,
         leaf_pipeline=leaf_pipeline, bvh_width=tables.width,
         woop_bf16=tables.woop_bf16, sub=sub, slab_batch=slab_batch,
-        row_skip=row_skip, defer_uv=defer_uv,
+        row_skip=row_skip, defer_uv=defer_uv, mt_point=mt_point,
     )
 
     def kernel_wrap(nb, nm, n4b, n4m, tab, rays_blk, out_blk,
@@ -1875,6 +1899,7 @@ def pallas_trace_bounce(
     stack_depth: int = 64, interpret: bool = False,
     packets_per_step: int = 2, leaf_pipeline: bool = False,
     slab_batch: bool = False, row_skip: bool = False,
+    mt_point: bool = False,
 ):
     """FUSED BOUNCE megakernel: packet BVH traversal + leaf MT + winner
     attributes + the WHOLE shading step (material lookup, scatter, sky,
@@ -1938,7 +1963,7 @@ def pallas_trace_bounce(
                 rb_packed=tables.packed, rb_mode="fused",
                 leaf_pipeline=leaf_pipeline, bvh_width=tables.width,
                 woop_bf16=tables.woop_bf16, slab_batch=slab_batch,
-                row_skip=row_skip,
+                row_skip=row_skip, mt_point=mt_point,
                 shade=shade, sc_ref=sc_r, mtab_ref=mtab_r)
 
     attr_rows = tables.tab.shape[0] - tables.woop_rows
@@ -2048,7 +2073,8 @@ def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,
                             packet_rays: int = PACKET,
                             slab_batch: bool = False,
                             row_skip: bool = False,
-                            defer_uv: bool = False):
+                            defer_uv: bool = False,
+                            mt_point: bool = False):
     """Rich IntersectFn backed by the Pallas kernel, or None if the scene
     doesn't fit the VMEM budget. The returned function carries its
     PallasSceneTables as `.tables` (slot_tri maps winner slots to tris)."""
@@ -2066,7 +2092,7 @@ def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,
                                 rb_mode=rb_mode, leaf_pipeline=leaf_pipeline,
                                 packet_rays=packet_rays,
                                 slab_batch=slab_batch, row_skip=row_skip,
-                                defer_uv=defer_uv)
+                                defer_uv=defer_uv, mt_point=mt_point)
 
     intersect.tables = tables
     return intersect

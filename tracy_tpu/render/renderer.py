@@ -395,6 +395,7 @@ class Renderer:
                 sbatch = self.cfg.pallas_slab_batch
                 rskip = self.cfg.pallas_row_skip
                 duv = self.cfg.pallas_defer_uv
+                mtp = self.cfg.pallas_mt_point
                 self._accel_data = tables
 
                 def bind(sc, acc):
@@ -405,7 +406,7 @@ class Renderer:
                             rb_prefetch=rbp, rb_gather=rbg, rb_mode=rbm,
                             leaf_pipeline=pipe, packet_rays=prays,
                             slab_batch=sbatch, row_skip=rskip,
-                            defer_uv=duv,
+                            defer_uv=duv, mt_point=mtp,
                         )
                     )
 
