@@ -64,9 +64,11 @@ def main() -> int:
     ntris = int(np.asarray(scene.indices).shape[0])
     print(f"[big] scene: {ntris} tris", flush=True)
 
-    configs = [("leaf128", 128)]
-    if os.environ.get("BIG_STRESS", "1") == "1":
-        configs.append(("leaf8-stress", 8))
+    # BIG_LEAVES: comma list of pallas_leaf_size values to exercise
+    # (smaller leaves = more nodes = bigger VMEM-resident tables; used to
+    # bracket the real on-chip node-table ceiling).
+    leaves = [int(x) for x in os.environ.get("BIG_LEAVES", "128,8").split(",")]
+    configs = [(f"leaf{lv}", lv) for lv in leaves]
 
     rc = 0
     for tag, leaf in configs:
