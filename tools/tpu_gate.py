@@ -116,7 +116,11 @@ def main() -> int:
             ("rowskip-vlist4", False, "vlist", 4, False, 1024, True, 1, 0, 0),
             ("rowskip-fused4", False, "fused", 4, False, 1024, True, 1, 0, 0),
             ("rowskip-duv-vlist4", False, "vlist", 4, False, 1024, True,
-             1, 1),
+             1, 1, 0),
+            # Point-form MT: statistical agreement bar (ulp changes can
+            # flip knife-edge winners).
+            ("mtpoint-rowskip-vlist4", False, "vlist", 4, False, 1024,
+             True, 1, 1, 1),
         ]:
             t0 = time.perf_counter()
             try:
