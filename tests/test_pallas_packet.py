@@ -601,8 +601,9 @@ def test_pallas_slab_batch(mode, width):
                                   np.asarray(ab.material)[m])
 
 
-@pytest.mark.parametrize("mode", ["fused", "vlist"])
-@pytest.mark.parametrize("width", [2, 4])
+@pytest.mark.parametrize("mode,width", [("fused", 2), ("fused", 4),
+                                        ("vlist", 2), ("vlist", 4),
+                                        ("vlist", 8)])
 def test_pallas_row_skip(mode, width):
     """Row skip (run the leaf MT only for ray rows whose pushed slab mask
     is live) must be EXACT: child AABBs nest inside parents and best_t

@@ -121,6 +121,9 @@ def main() -> int:
             # flip knife-edge winners).
             ("mtpoint-rowskip-vlist4", False, "vlist", 4, False, 1024,
              True, 1, 1, 1),
+            # 8-wide traversal (half the pops of 4-wide).
+            ("rowskip-duv-vlist8", False, "vlist", 8, False, 1024, True,
+             1, 1, 0),
         ]:
             t0 = time.perf_counter()
             try:

@@ -55,7 +55,7 @@ def main() -> int:
                        wave_compact_group=int(
                            os.environ.get("GRAD_COMPACT",
                                           pick_compact_group(w * h))),
-                       pallas_bvh_width=int(os.environ.get("GRAD_BVHW", 2)))
+                       pallas_bvh_width=int(os.environ.get("GRAD_BVHW", 4)))
 
     frame = jnp.asarray(0, jnp.int32)
     fwd_isect = make_training_intersector(scene, cfg,

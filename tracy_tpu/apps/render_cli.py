@@ -62,7 +62,7 @@ def main(argv=None):
                    choices=["minloop", "list", "arena", "vlist", "fused",
                             "mt"],
                    help="Pallas winner-readback mode (default: fused)")
-    p.add_argument("-bvh-width", type=int, default=4, choices=[2, 4],
+    p.add_argument("-bvh-width", type=int, default=4, choices=[2, 4, 8],
                    help="Pallas traversal branching factor (default: 4)")
     p.add_argument("-cpu", action="store_true", help="force the CPU backend")
     p.add_argument("-mesh", default=None,

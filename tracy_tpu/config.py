@@ -113,9 +113,10 @@ class RenderConfig:
     # zero dynamic gathers ('fused''s per-visit take_along_axis resolve
     # measured ~2.6us/leaf visit, 72% of incoherent live-packet cost).
     # 'list'/'arena'/'fused'/'mt' require rb_window=1, no prefetch.
-    # Default 'fused': the fastest measured mode on the dragon headline
-    # (sessions P-R); only the TPU Pallas path consumes this knob.
-    pallas_rb_mode: str = "fused"
+    # Default 'vlist': the fastest measured mode on the dragon headline
+    # (round-3 sessions T-W; ~equal to 'fused' once row_skip landed);
+    # only the TPU Pallas path consumes this knob.
+    pallas_rb_mode: str = "vlist"
 
     # RNG algorithm (reference CPU_RAND_ALGORITHM).
     rng: str = RNG_FAST
@@ -194,13 +195,15 @@ class RenderConfig:
     # recomputes u/v from the stored winner t with the SAME expression
     # tree (oh1 + two masked sublane min-reduces per row leave the loop;
     # measured 9.6 us/packet at wave 2, session X).
-    pallas_defer_uv: bool = False
+    # Default ON (round 4: 8.32 -> 8.46 MRays/s); silently inert unless
+    # rb_mode == 'vlist' (the renderer guards the combination).
+    pallas_defer_uv: bool = True
 
     # Pallas traversal branching factor: 4 collapses the binary BVH to
     # 4-wide nodes (halves stack pops on the dragon: 316 -> 160 inner
     # visits/packet, identical leaf visits) at ~1.7x the slab math per
     # pop. Results identical (same closest-hit minima).
-    pallas_bvh_width: int = 2
+    pallas_bvh_width: int = 4
 
     # bf16-pair-pack the Woop triangle-transform rows of the fused table
     # (12 -> 6, pad8 -> 8): the per-leaf-visit DMA drops from 24 to 16
@@ -272,8 +275,8 @@ class RenderConfig:
                 "pallas_rb_mode must be 'minloop', 'list', 'arena', "
                 f"'vlist', 'fused' or 'mt', got {self.pallas_rb_mode!r}"
             )
-        if self.pallas_bvh_width not in (2, 4):
-            raise ValueError("pallas_bvh_width must be 2 or 4")
+        if self.pallas_bvh_width not in (2, 4, 8):
+            raise ValueError("pallas_bvh_width must be 2, 4 or 8")
         if self.pallas_packet_rays not in (1024, 2048, 4096):
             raise ValueError("pallas_packet_rays must be 1024, 2048 or 4096")
         if self.pallas_leaf_pipeline and self.pallas_rb_mode != "fused":

@@ -199,16 +199,19 @@ class PallasSceneTables:
         return (self.node_bounds.size + self.node_meta.size + n4) * 4
 
 
-def _collapse4(nb: np.ndarray, meta: np.ndarray):
-    """Collapse the (realigned) binary BVH to branching factor 4.
+def _collapse4(nb: np.ndarray, meta: np.ndarray, width: int = 4):
+    """Collapse the (realigned) binary BVH to branching factor `width`.
 
-    A 4-wide node corresponds to a kept binary inner node; its children
-    are each binary child if a leaf, else that child's two children.
-    Returns (node4_bounds [N4, 24] f32, node4_meta [N4, 8] i32, depth4)
-    with (val, tag) child entries (see PallasSceneTables) and depth4 =
-    the deepest chain of 4-wide INNER nodes (root = 1) — the traversal
-    stack must hold 3*depth4 + 1 entries (each inner pop pushes up to 4),
-    or None when the root is a leaf (nothing to collapse)."""
+    A wide node corresponds to a kept binary inner node; its child slots
+    fill by repeatedly expanding the first inner child (FIFO) until
+    `width` slots are used or every child is a leaf — so a 4-wide node is
+    "each binary child if a leaf, else that child's two children", and an
+    8-wide node expands one level deeper. Returns (node_bounds [N, 6W]
+    f32, node_meta [N, 2W] i32, depthW) with (val, tag) child entries
+    (see PallasSceneTables) and depthW = the deepest chain of wide INNER
+    nodes (root = 1) — the traversal stack must hold (W-1)*depthW + 1
+    entries (each inner pop pushes up to W), or None when the root is a
+    leaf (nothing to collapse)."""
     if meta[0, 1] > 0:
         return None
     n4b, n4m = [], []
@@ -217,31 +220,37 @@ def _collapse4(nb: np.ndarray, meta: np.ndarray):
     idmap[0] = 0
     depth = {0: 1}
     max_depth = 1
-    n4b.append(np.zeros(24, np.float32))
-    n4m.append(np.zeros(8, np.int32))
+    n4b.append(np.zeros(6 * width, np.float32))
+    n4m.append(np.zeros(2 * width, np.int32))
+
+    def is_leaf(c):
+        return meta[c, 1] > 0
+
     while stack:
         n = stack.pop()
         me = idmap[n]
-        kids = []
-        for c in (int(meta[n, 0]), int(meta[n, 2])):
-            if meta[c, 1] > 0:
-                kids.append(c)
-            else:
-                kids.append(int(meta[c, 0]))
-                kids.append(int(meta[c, 2]))
-        brow = np.empty(24, np.float32)
-        mrow = np.empty(8, np.int32)
-        for k in range(4):
+        kids = [int(meta[n, 0]), int(meta[n, 2])]
+        # Level-order expansion: one binary level per round (leaves stay),
+        # so width 4 = one round (bit-identical to the round-3 collapse)
+        # and width 8 = two rounds. A round at most doubles the list, so
+        # it can never exceed `width`.
+        for _ in range(width.bit_length() - 2):
+            kids = [g for c in kids
+                    for g in ([c] if is_leaf(c)
+                              else [int(meta[c, 0]), int(meta[c, 2])])]
+        brow = np.empty(6 * width, np.float32)
+        mrow = np.empty(2 * width, np.int32)
+        for k in range(width):
             if k < len(kids):
                 b = kids[k]
                 brow[6 * k:6 * k + 6] = nb[b, 0:6]
-                if meta[b, 1] > 0:
+                if is_leaf(b):
                     mrow[2 * k], mrow[2 * k + 1] = b, 1  # leaf: binary id
                 else:
                     if b not in idmap:
                         idmap[b] = len(n4b)
-                        n4b.append(np.zeros(24, np.float32))
-                        n4m.append(np.zeros(8, np.int32))
+                        n4b.append(np.zeros(6 * width, np.float32))
+                        n4m.append(np.zeros(2 * width, np.int32))
                         depth[b] = depth[n] + 1
                         max_depth = max(max_depth, depth[b])
                         stack.append(b)
@@ -425,8 +434,8 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool,
     n4b = np.zeros((1, 24), np.float32)
     n4m = np.zeros((1, 8), np.int32)
     depth4 = 0
-    if width == 4:
-        four = _collapse4(node_bounds, meta)
+    if width in (4, 8):
+        four = _collapse4(node_bounds, meta, width)
         if four is None:
             width = 2  # root is a leaf: nothing to collapse
         else:
@@ -1261,13 +1270,14 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                 rmask_ref[sp_in] if row_skip else None))
 
         def inner_case4(sp_in, bt):
+            W = bvh_width  # 4 or 8 (static)
             if "countvisits" in _ABLATE:
                 rbl_ref[3] = rbl_ref[3] + 1
-            row = n4b_ref[pl.ds(e, 1), :]  # [1, 24]: 4 child bboxes
-            m8 = n4m_ref[pl.ds(e, 1), :]  # [1, 8]: 4 (val, tag) pairs
+            row = n4b_ref[pl.ds(e, 1), :]  # [1, 6W]: W child bboxes
+            m8 = n4m_ref[pl.ds(e, 1), :]  # [1, 2W]: W (val, tag) pairs
             ts, es = [], []
             masked = []  # per-child [sub,128] tmin planes (BIG where miss)
-            for k in range(4):
+            for k in range(W):
                 o6 = 6 * k
                 t0x = (row[0, o6 + 0] - ox) * ix
                 t1x = (row[0, o6 + 3] - ox) * ix
@@ -1304,39 +1314,44 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                     # min/max slab HITS inverted boxes — mask by tag.
                     ts.append(jnp.where(tag >= 0, tmin_k, jnp.float32(BIG)))
                 es.append(jnp.where(tag == 1, -(val + 1), val))
-            ms = [None] * 4
+            ms = [None] * W
             if slab_batch and row_skip:
                 # Per-ROW mins -> child mins AND pushed row masks from one
-                # drained [sub, 4] vector (exact: min associativity).
+                # drained [sub, W] vector (exact: min associativity).
                 rowsub = jnp.concatenate(
                     [jnp.min(m, axis=1, keepdims=True) for m in masked],
-                    axis=1)  # [sub, 4]
-                mins = jnp.min(rowsub, axis=0)  # [4]
-                iota_s = jax.lax.broadcasted_iota(jnp.int32, (sub, 4), 0)
+                    axis=1)  # [sub, W]
+                mins = jnp.min(rowsub, axis=0)  # [W]
+                iota_s = jax.lax.broadcasted_iota(jnp.int32, (sub, W), 0)
                 mvec = jnp.sum(
                     jnp.where(rowsub < jnp.float32(BIG),
                               jnp.left_shift(jnp.int32(1), iota_s), 0),
-                    axis=0)  # [4] i32 row masks
-                for k in range(4):
+                    axis=0)  # [W] i32 row masks
+                for k in range(W):
                     tag = m8[0, 2 * k + 1]
                     ts[k] = jnp.where(tag >= 0, mins[k], jnp.float32(BIG))
                     ms[k] = mvec[k]
             elif slab_batch:
-                # [4,128] = per-child sublane-reduced rows, then one
-                # cross-lane min -> [4,1]; four scalar extracts of an
+                # [W,128] = per-child sublane-reduced rows, then one
+                # cross-lane min -> [W,1]; W scalar extracts of an
                 # ALREADY-DRAINED tiny vector are nearly free. min is
                 # exact and order-independent: bit-identical results.
                 rows4 = jnp.concatenate(
                     [jnp.min(m, axis=0, keepdims=True) for m in masked],
                     axis=0)
-                mins = jnp.min(rows4, axis=1)  # [4]
-                for k in range(4):
+                mins = jnp.min(rows4, axis=1)  # [W]
+                for k in range(W):
                     tag = m8[0, 2 * k + 1]
                     ts[k] = jnp.where(tag >= 0, mins[k], jnp.float32(BIG))
 
-            # Ascending sort by tmin (5-comparator network), then push
-            # far-to-near so the nearest child pops first.
-            for i, j in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+            # Ascending sort by tmin (optimal 5-comparator network for 4,
+            # Batcher 19-comparator for 8), then push far-to-near so the
+            # nearest child pops first.
+            net4 = ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2))
+            net8 = ((0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6),
+                    (5, 7), (1, 2), (5, 6), (0, 4), (1, 5), (2, 6), (3, 7),
+                    (2, 4), (3, 5), (1, 2), (3, 4), (5, 6))
+            for i, j in net4 if W == 4 else net8:
                 swap = ts[i] > ts[j]
                 ts[i], ts[j] = (jnp.where(swap, ts[j], ts[i]),
                                 jnp.where(swap, ts[i], ts[j]))
@@ -1346,7 +1361,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                     ms[i], ms[j] = (jnp.where(swap, ms[j], ms[i]),
                                     jnp.where(swap, ms[i], ms[j]))
             sp2 = sp_in
-            for k in (3, 2, 1, 0):
+            for k in reversed(range(W)):
                 hit_k = ts[k] < jnp.float32(BIG)
                 idx = jnp.minimum(sp2, stack_depth - 1)
 
@@ -1364,7 +1379,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
     if "notrav" in _ABLATE:
         t_final = init[1]
     else:
-        out = jax.lax.while_loop(cond, body4 if bvh_width == 4 else body,
+        out = jax.lax.while_loop(cond, body4 if bvh_width >= 4 else body,
                                  init)
         t_final = out[1]
 
@@ -1722,13 +1737,14 @@ def pallas_intersect(
     value (winners are per-ray strict-min best-t)."""
     if packet_rays // 128 not in (8, 16, 32) or packet_rays % 128 != 0:
         raise ValueError("packet_rays must be 1024, 2048 or 4096")
-    if tables.width == 4:
-        # Each 4-wide inner pop pushes up to 4 entries: DFS occupancy is
-        # bounded by 3*depth4 + 1, which the binary sizing rule
+    if tables.width in (4, 8):
+        # Each W-wide inner pop pushes up to W entries: DFS occupancy is
+        # bounded by (W-1)*depthW + 1, which the binary sizing rule
         # (max_depth = stack_depth - 4) does NOT cover. Auto-raise the
         # SMEM stack (i32 per slot — free) so a deep scene can't silently
         # clamp pushes and return wrong nearest hits (ADVICE r3).
-        stack_depth = max(stack_depth, 3 * tables.depth4 + 2)
+        stack_depth = max(stack_depth,
+                          (tables.width - 1) * tables.depth4 + 2)
     sub = packet_rays // 128
     n = origin.shape[0]
     npad = -(-n // packet_rays) * packet_rays
@@ -1913,8 +1929,9 @@ def pallas_trace_bounce(
     """
     if tables.has_uv or tables.with_tangent:
         raise ValueError("pallas_trace_bounce: untextured scenes only")
-    if tables.width == 4:
-        stack_depth = max(stack_depth, 3 * tables.depth4 + 2)  # see pallas_intersect
+    if tables.width in (4, 8):
+        stack_depth = max(stack_depth,
+                          (tables.width - 1) * tables.depth4 + 2)
     n = origin.shape[0]
     npad = -(-n // PACKET) * PACKET
     if npad != n:

@@ -394,7 +394,7 @@ class Renderer:
                 prays = self.cfg.pallas_packet_rays
                 sbatch = self.cfg.pallas_slab_batch
                 rskip = self.cfg.pallas_row_skip
-                duv = self.cfg.pallas_defer_uv
+                duv = (self.cfg.pallas_defer_uv and rbm == "vlist")
                 mtp = self.cfg.pallas_mt_point
                 self._accel_data = tables
 
