@@ -83,10 +83,10 @@ def main() -> int:
                 oo, dd, aa, tb, rb_mode="vlist", slab_batch=True,
                 row_skip=True, interpret=interp)
         )(o, d, act, tables)
-        page, _lane = jax.jit(
-            lambda sc, m, uv, dd, hm, al: lane_page_indices(
-                sc, m, uv, dd, hm, al)
-        )(tp, attrs.material, attrs.uv, d, hit.mask, act)
+        # TexturePages carries host-side addressing constants consumed
+        # STATICALLY (sky_has branch) — must not cross a jit boundary.
+        page, _lane = lane_page_indices(tp, attrs.material, attrs.uv, d,
+                                        hit.mask, act)
         pg = np.asarray(page)
         n = (len(pg) // PACKET) * PACKET
         pg = pg[:n].reshape(-1, PACKET)
