@@ -220,7 +220,7 @@ def main():
         pallas_leaf_size=int(os.environ.get("TRACY_BENCH_LEAF", 128)),
         # Rays per Pallas packet (1024/2048/4096): wider packets amortize
         # the serial per-visit traversal cost over more rays.
-        pallas_packet_rays=int(os.environ.get("TRACY_BENCH_PRAYS", 1024)),
+        pallas_packet_rays=int(os.environ.get("TRACY_BENCH_PRAYS", 2048)),
         # Batched slab reductions: one vector->scalar drain per inner visit
         # instead of one per child (bit-identical).
         pallas_slab_batch=os.environ.get("TRACY_BENCH_SLABB", "1") == "1",
@@ -228,7 +228,7 @@ def main():
         # mask is live (bit-identical; see config.pallas_row_skip).
         pallas_row_skip=os.environ.get("TRACY_BENCH_ROWSKIP", "1") == "1",
         # Deferred winner-u/v extraction (vlist phase-2 recompute).
-        pallas_defer_uv=os.environ.get("TRACY_BENCH_DEFERUV", "0") == "1",
+        pallas_defer_uv=os.environ.get("TRACY_BENCH_DEFERUV", "1") == "1",
         # Point-form MT (statistical-parity; see config.pallas_mt_point).
         pallas_mt_point=os.environ.get("TRACY_BENCH_MTPOINT", "0") == "1",
     )
@@ -296,11 +296,21 @@ def main():
         else:
             default_rows = "16" if cfg.pallas_woop_bf16 else "24"
         dma_rows = int(os.environ.get("TRACY_SOL_DMA_ROWS", default_rows))
-        hbm = packet_hbm_bound(1024, dma_rows,
-                               visits_per_ray * 1024) / 1e6
+        # Textured scenes: the shade stage DMAs one 8 KB texel page per
+        # DISTINCT page per packet (tools/tpu_countpages.py measures the
+        # per-scene constant; dragon has none).
+        pages_per_ray = float(os.environ.get("TRACY_SOL_PAGES_PER_RAY",
+                                             "0"))
+        tray = (visits_per_ray * dma_rows * 128 * 4
+                + pages_per_ray * 16 * 128 * 4
+                + 200.0)  # ~wavefront state planes R/W per bounce
+        hbm = 819.0e9 / tray / 1e6
+        _ = packet_hbm_bound  # model factored there; inline adds pages
         print(f"[bench] HBM speed-of-light ~{hbm:.1f} MRays/s "
-              f"(dma_rows={dma_rows}, visits/ray={visits_per_ray}) -> "
-              f"measured = {100 * mrays / hbm:.1f}% of HBM bound",
+              f"(dma_rows={dma_rows}, visits/ray={visits_per_ray}, "
+              f"pages/ray={pages_per_ray}) -> "
+              f"measured = {100 * mrays / hbm:.1f}% of HBM bound "
+              f"(the kernel is COMPUTE-bound: see BASELINE.md SoL notes)",
               file=sys.stderr)
 
     img = r.display_u8(state)

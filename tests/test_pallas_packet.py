@@ -753,3 +753,25 @@ def test_pallas_mt_point_defer_uv_exact():
     np.testing.assert_array_equal(np.asarray(h0.uv)[m], np.asarray(hc.uv)[m])
     np.testing.assert_array_equal(np.asarray(a0.normal)[m],
                                   np.asarray(ac.normal)[m])
+
+
+def test_pallas_row_skip_wide_packets():
+    """row_skip at packet_rays=4096 (sub=32): the all-ones root mask must
+    not overflow i32 (regression: OverflowError at bench prays=4096) and
+    results stay bit-identical."""
+    b = default_scene(32, 24)
+    scene = b.build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    i0 = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_mode="vlist", width=4,
+                                 slab_batch=True, packet_rays=4096)
+    ir = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_mode="vlist", width=4,
+                                 slab_batch=True, packet_rays=4096,
+                                 row_skip=True)
+    o, d = _rays_for(scene, 8192, seed=31)
+    act = jnp.ones(8192, bool).at[5000:5600].set(False)
+    h0, _ = i0(o, d, act)
+    hr, _ = ir(o, d, act)
+    np.testing.assert_array_equal(np.asarray(h0.mask), np.asarray(hr.mask))
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(hr.t))

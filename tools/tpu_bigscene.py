@@ -72,10 +72,13 @@ def main() -> int:
 
     rc = 0
     for tag, leaf in configs:
+        grp = int(os.environ.get("BIG_COMPACT",
+                                 pick_compact_group(w * h)))
         cfg = RenderConfig(
             width=w, height=h, spp=1, accel="packet",
-            wave_compact_group=pick_compact_group(w * h),
-            pallas_leaf_size=leaf)
+            wave_compact_group=grp, pallas_leaf_size=leaf,
+            pallas_vmem_budget=int(os.environ.get(
+                "BIG_VMEM", 8 * 1024 * 1024)))
         r = Renderer(cfg)
         r._ensure_accel(scene)
         on_pallas = isinstance(r._accel_data, PallasSceneTables)

@@ -151,8 +151,10 @@ class RenderConfig:
     # drains + stack scalar ops) over more rays: per-ray inner visits drop
     # ~3x from 1024 to 4096 at wave-2 incoherence (tools/traversal_stats),
     # while the added vector work rides the underutilized VPU. Results are
-    # ray-wise identical for any value.
-    pallas_packet_rays: int = 1024
+    # ray-wise identical for any value. 1024/2048/4096 measured 8.46/8.62/
+    # fail->fixed in round 4 (wide packets flipped POSITIVE once row_skip
+    # landed: the extra rows are mostly masked off); default 2048.
+    pallas_packet_rays: int = 2048
 
     # Batch the traversal's per-child slab min-reductions into ONE fused
     # vector->scalar drain per inner visit (bit-identical: min is exact
@@ -176,11 +178,16 @@ class RenderConfig:
     pallas_row_skip: bool = True
 
     # VMEM budget for the Pallas kernel's RESIDENT BVH node tables (the
-    # per-triangle tables stream from HBM). ~1.3 B/triangle at the default
-    # chunk-SAH leaf width, so 8 MB holds ~6M triangles; scenes past the
-    # budget fall back to the XLA packet path with a loud RuntimeWarning
-    # (~10-30x slower). v5e has 128 MB VMEM — raise this for huge scenes.
-    pallas_vmem_budget: int = 8 * 1024 * 1024
+    # per-triangle tables stream from HBM). ~2.6 B/triangle at the default
+    # chunk-SAH leaf width incl. the 4-wide tables, so 2.5 MB holds ~1M
+    # triangles (a 520K-tri scene measures 0.7 MB); scenes past the budget
+    # fall back to the XLA packet path with a loud RuntimeWarning
+    # (~10-30x slower). The conservative default reflects MEASURED
+    # remote-compile behavior (round 4, logs/r4_session_{z,b2}.log):
+    # 5.4 MB node tables compiled at small frame shapes but >=3 MB
+    # intermittently 500'd the compile service at 720p; 6.6 MB always
+    # failed. Raise at your own risk for huge scenes.
+    pallas_vmem_budget: int = int(2.5 * 1024 * 1024)
 
     # Point-form Möller–Trumbore: compute the hit point p = o + t d once
     # per (tri, ray) and evaluate u/v as single R-row contractions of p —

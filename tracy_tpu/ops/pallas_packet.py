@@ -595,8 +595,9 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
     if row_skip:
         # Root row mask: all rows. Rows of DEAD rays drop out one level
         # below on their own (dead lanes carry best_t = -BIG, so their
-        # child slab tests never hit and never set a row bit).
-        rmask_ref[0] = (1 << sub) - 1
+        # child slab tests never hit and never set a row bit). At sub=32
+        # the all-ones mask doesn't fit a positive i32 — same BITS as -1.
+        rmask_ref[0] = (1 << sub) - 1 if sub < 32 else -1
     if rb_mode in ("list", "arena", "vlist"):
         rbl_ref[0] = 0  # chunk-list count
         rbl_ref[1] = 0  # overflow flag
@@ -1141,7 +1142,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
             rbl_ref[3] = m_count
             if row_skip:
                 rbl_ref[4] = (rowmask if rowmask is not None
-                              else (1 << sub) - 1)
+                              else ((1 << sub) - 1 if sub < 32 else -1))
             rbl_ref[0] = opp
             return bt2
 
