@@ -220,7 +220,7 @@ def main():
         pallas_leaf_size=int(os.environ.get("TRACY_BENCH_LEAF", 128)),
         # Rays per Pallas packet (1024/2048/4096): wider packets amortize
         # the serial per-visit traversal cost over more rays.
-        pallas_packet_rays=int(os.environ.get("TRACY_BENCH_PRAYS", 2048)),
+        pallas_packet_rays=int(os.environ.get("TRACY_BENCH_PRAYS", 4096)),
         # Batched slab reductions: one vector->scalar drain per inner visit
         # instead of one per child (bit-identical).
         pallas_slab_batch=os.environ.get("TRACY_BENCH_SLABB", "1") == "1",

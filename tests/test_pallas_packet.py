@@ -755,19 +755,20 @@ def test_pallas_mt_point_defer_uv_exact():
                                   np.asarray(ac.normal)[m])
 
 
-def test_pallas_row_skip_wide_packets():
-    """row_skip at packet_rays=4096 (sub=32): the all-ones root mask must
-    not overflow i32 (regression: OverflowError at bench prays=4096) and
-    results stay bit-identical."""
+@pytest.mark.parametrize("prays", [4096, 8192])
+def test_pallas_row_skip_wide_packets(prays):
+    """row_skip at wide packets: sub=32's all-ones root mask must not
+    overflow i32 (regression: OverflowError at bench prays=4096), and
+    sub=64 uses TWO mask words per stack entry — both bit-identical."""
     b = default_scene(32, 24)
     scene = b.build()
     bvh, _ = build_packet_bvh(scene, leaf_size=64)
     i0 = make_pallas_intersector(scene, bvh, with_tangent=False,
                                  interpret=True, rb_mode="vlist", width=4,
-                                 slab_batch=True, packet_rays=4096)
+                                 slab_batch=True, packet_rays=prays)
     ir = make_pallas_intersector(scene, bvh, with_tangent=False,
                                  interpret=True, rb_mode="vlist", width=4,
-                                 slab_batch=True, packet_rays=4096,
+                                 slab_batch=True, packet_rays=prays,
                                  row_skip=True)
     o, d = _rays_for(scene, 8192, seed=31)
     act = jnp.ones(8192, bool).at[5000:5600].set(False)

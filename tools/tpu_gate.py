@@ -124,6 +124,9 @@ def main() -> int:
             # 8-wide traversal (half the pops of 4-wide).
             ("rowskip-duv-vlist8", False, "vlist", 8, False, 1024, True,
              1, 1, 0),
+            # 8192-ray packets (sub=64: two-word row masks).
+            ("prays8192-rowskip", False, "vlist", 4, False, 8192, True,
+             1, 1, 0),
         ]:
             t0 = time.perf_counter()
             try:

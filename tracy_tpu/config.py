@@ -151,10 +151,11 @@ class RenderConfig:
     # drains + stack scalar ops) over more rays: per-ray inner visits drop
     # ~3x from 1024 to 4096 at wave-2 incoherence (tools/traversal_stats),
     # while the added vector work rides the underutilized VPU. Results are
-    # ray-wise identical for any value. 1024/2048/4096 measured 8.46/8.62/
-    # fail->fixed in round 4 (wide packets flipped POSITIVE once row_skip
-    # landed: the extra rows are mostly masked off); default 2048.
-    pallas_packet_rays: int = 2048
+    # ray-wise identical for any value. 1024/2048/4096 measured
+    # 8.46/8.62/9.18 dragon 1080p in round 4 (wide packets flipped
+    # POSITIVE once row_skip landed: the extra rows are mostly masked
+    # off); default 4096.
+    pallas_packet_rays: int = 4096
 
     # Batch the traversal's per-child slab min-reductions into ONE fused
     # vector->scalar drain per inner visit (bit-identical: min is exact
@@ -284,8 +285,9 @@ class RenderConfig:
             )
         if self.pallas_bvh_width not in (2, 4, 8):
             raise ValueError("pallas_bvh_width must be 2, 4 or 8")
-        if self.pallas_packet_rays not in (1024, 2048, 4096):
-            raise ValueError("pallas_packet_rays must be 1024, 2048 or 4096")
+        if self.pallas_packet_rays not in (1024, 2048, 4096, 8192):
+            raise ValueError(
+                "pallas_packet_rays must be 1024, 2048, 4096 or 8192")
         if self.pallas_leaf_pipeline and self.pallas_rb_mode != "fused":
             raise ValueError(
                 "pallas_leaf_pipeline requires pallas_rb_mode='fused'"

@@ -595,9 +595,12 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
     if row_skip:
         # Root row mask: all rows. Rows of DEAD rays drop out one level
         # below on their own (dead lanes carry best_t = -BIG, so their
-        # child slab tests never hit and never set a row bit). At sub=32
-        # the all-ones mask doesn't fit a positive i32 — same BITS as -1.
-        rmask_ref[0] = (1 << sub) - 1 if sub < 32 else -1
+        # child slab tests never hit and never set a row bit). At sub>=32
+        # the all-ones word doesn't fit a positive i32 — same BITS as -1;
+        # sub=64 uses TWO words (word 1 at [stack_depth + idx]).
+        rmask_ref[0] = (1 << min(sub, 32)) - 1 if sub < 32 else -1
+        if sub > 32:
+            rmask_ref[stack_depth] = -1
     if rb_mode in ("list", "arena", "vlist"):
         rbl_ref[0] = 0  # chunk-list count
         rbl_ref[1] = 0  # overflow flag
@@ -632,6 +635,26 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
     )
 
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (LEAF, 128), 0)
+
+    def _row_masks(rowsub, nch):
+        """Per-child row-mask words from the [sub, nch] per-row mins:
+        (lo [nch] i32, hi [nch] i32 | None) — hi only at sub=64."""
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (sub, nch), 0)
+        live = rowsub < jnp.float32(BIG)
+        bit = jnp.left_shift(jnp.int32(1), iota_s & 31)
+        lo = jnp.sum(jnp.where(live & (iota_s < 32), bit, 0), axis=0)
+        hi = (jnp.sum(jnp.where(live & (iota_s >= 32), bit, 0), axis=0)
+              if sub > 32 else None)
+        return lo, hi
+
+    def _mask_write(idx, m):
+        rmask_ref[idx] = m[0]
+        if sub > 32:
+            rmask_ref[stack_depth + idx] = m[1]
+
+    def _mask_read(idx):
+        return (rmask_ref[idx],
+                rmask_ref[stack_depth + idx] if sub > 32 else None)
 
     WW = rb_window * LEAF
 
@@ -986,9 +1009,16 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                 # carry no such ray — this skips the MT dominator's work
                 # at row granularity for a scalar branch each.
                 def row_step(r, carry):
-                    live = jnp.right_shift(rowmask, r) & 1 == 1
+                    lo, hi = rowmask
+                    if hi is None:
+                        bit = jnp.right_shift(lo, r) & 1
+                    else:
+                        bit = jnp.where(r < 32,
+                                        jnp.right_shift(lo, r & 31) & 1,
+                                        jnp.right_shift(hi, r & 31) & 1)
                     return jax.lax.cond(
-                        live, lambda c: row_body(r, c), lambda c: c, carry)
+                        bit == 1, lambda c: row_body(r, c), lambda c: c,
+                        carry)
             else:
                 row_step = row_body
             cand_t, cand_idx, cand_u, cand_v, cand_att = jax.lax.fori_loop(
@@ -1132,17 +1162,21 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
             def mt_pending(b):
                 pch = pl.multiple_of(rbl_ref[1], LEAF)
                 cpr(opp, pch).wait()
+                pm = ((rbl_ref[4], rbl_ref[5] if sub > 32 else None)
+                      if row_skip else None)
                 return leaf_mt(opp * ROWS_W, pch, rbl_ref[2],
-                               rbl_ref[3], b,
-                               rbl_ref[4] if row_skip else None)
+                               rbl_ref[3], b, pm)
 
             bt2 = jax.lax.cond(pend >= 0, mt_pending, lambda b: b, bt)
             rbl_ref[1] = chunk_base
             rbl_ref[2] = sub_off
             rbl_ref[3] = m_count
             if row_skip:
-                rbl_ref[4] = (rowmask if rowmask is not None
-                              else ((1 << sub) - 1 if sub < 32 else -1))
+                full = (1 << sub) - 1 if sub < 32 else -1
+                rbl_ref[4] = rowmask[0] if rowmask is not None else full
+                if sub > 32:
+                    rbl_ref[5] = (rowmask[1] if rowmask is not None
+                                  else -1)
             rbl_ref[0] = opp
             return bt2
 
@@ -1199,13 +1233,10 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                      jnp.min(slab_plane(right), axis=1, keepdims=True)],
                     axis=1)  # [sub, 2]
                 mins = jnp.min(rowsub, axis=0)  # [2]
-                iota_s = jax.lax.broadcasted_iota(jnp.int32, (sub, 2), 0)
-                mvec = jnp.sum(
-                    jnp.where(rowsub < jnp.float32(BIG),
-                              jnp.left_shift(jnp.int32(1), iota_s), 0),
-                    axis=0)  # [2] i32 row masks
+                mlo, mhi = _row_masks(rowsub, 2)
                 lmin, rmin = mins[0], mins[1]
-                lmask, rmask = mvec[0], mvec[1]
+                lmask = (mlo[0], mhi[0] if sub > 32 else None)
+                rmask = (mlo[1], mhi[1] if sub > 32 else None)
             elif slab_batch:
                 # One fused reduction for both children (see body4): the
                 # two per-child scalar min-reads each pay a full vector
@@ -1227,29 +1258,34 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
             near_any = jnp.where(near_is_left, l_any, r_any)
             far_any = jnp.where(near_is_left, r_any, l_any)
             if row_skip:
-                near_m = jnp.where(near_is_left, lmask, rmask)
-                far_m = jnp.where(near_is_left, rmask, lmask)
+                def _msel(c, a, b):
+                    return tuple(
+                        jnp.where(c, x, y) if x is not None else None
+                        for x, y in zip(a, b))
+
+                near_m = _msel(near_is_left, lmask, rmask)
+                far_m = _msel(near_is_left, rmask, lmask)
 
             idx0 = jnp.minimum(sp_in, stack_depth - 1)
             @pl.when(far_any)
             def _():
                 stack_ref[idx0] = far
                 if row_skip:
-                    rmask_ref[idx0] = far_m
+                    _mask_write(idx0, far_m)
             sp1 = sp_in + far_any.astype(jnp.int32)
             idx1 = jnp.minimum(sp1, stack_depth - 1)
             @pl.when(near_any)
             def _():
                 stack_ref[idx1] = near
                 if row_skip:
-                    rmask_ref[idx1] = near_m
+                    _mask_write(idx1, near_m)
             sp2 = sp1 + near_any.astype(jnp.int32)
             return (sp2, bt)
 
         def leaf_case(sp_in, bt):
             return (sp_in, leaf_visit(
                 m_first, m_count, sp_in, bt,
-                rmask_ref[sp_in] if row_skip else None))
+                _mask_read(sp_in) if row_skip else None))
 
         return jax.lax.cond(is_leaf, leaf_case, inner_case, sp, c[1])
 
@@ -1268,7 +1304,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
             meta = nm_ref[pl.ds(node, 1), :]
             return (sp_in, leaf_visit(
                 meta[0, 0], meta[0, 1], sp_in, bt,
-                rmask_ref[sp_in] if row_skip else None))
+                _mask_read(sp_in) if row_skip else None))
 
         def inner_case4(sp_in, bt):
             W = bvh_width  # 4 or 8 (static)
@@ -1323,15 +1359,11 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                     [jnp.min(m, axis=1, keepdims=True) for m in masked],
                     axis=1)  # [sub, W]
                 mins = jnp.min(rowsub, axis=0)  # [W]
-                iota_s = jax.lax.broadcasted_iota(jnp.int32, (sub, W), 0)
-                mvec = jnp.sum(
-                    jnp.where(rowsub < jnp.float32(BIG),
-                              jnp.left_shift(jnp.int32(1), iota_s), 0),
-                    axis=0)  # [W] i32 row masks
+                mlo, mhi = _row_masks(rowsub, W)
                 for k in range(W):
                     tag = m8[0, 2 * k + 1]
                     ts[k] = jnp.where(tag >= 0, mins[k], jnp.float32(BIG))
-                    ms[k] = mvec[k]
+                    ms[k] = (mlo[k], mhi[k] if sub > 32 else None)
             elif slab_batch:
                 # [W,128] = per-child sublane-reduced rows, then one
                 # cross-lane min -> [W,1]; W scalar extracts of an
@@ -1359,8 +1391,12 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                 es[i], es[j] = (jnp.where(swap, es[j], es[i]),
                                 jnp.where(swap, es[i], es[j]))
                 if row_skip:
-                    ms[i], ms[j] = (jnp.where(swap, ms[j], ms[i]),
-                                    jnp.where(swap, ms[i], ms[j]))
+                    ms[i], ms[j] = (
+                        tuple(jnp.where(swap, b, a) if a is not None
+                              else None for a, b in zip(ms[i], ms[j])),
+                        tuple(jnp.where(swap, a, b) if a is not None
+                              else None for a, b in zip(ms[i], ms[j])),
+                    )
             sp2 = sp_in
             for k in reversed(range(W)):
                 hit_k = ts[k] < jnp.float32(BIG)
@@ -1370,7 +1406,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                 def _(idx=idx, k=k):
                     stack_ref[idx] = es[k]
                     if row_skip:
-                        rmask_ref[idx] = ms[k]
+                        _mask_write(idx, ms[k])
 
                 sp2 = sp2 + hit_k.astype(jnp.int32)
             return (sp2, bt)
@@ -1394,8 +1430,9 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                 tab_ref.at[:, pl.ds(pch, LEAF)],
                 w_s.at[pl.ds(opp * ROWS_W, ROWS_W), :],
                 dma_sems.at[opp]).wait()
-            return leaf_mt(opp * ROWS_W, pch, rbl_ref[2], rbl_ref[3], b,
-                           rbl_ref[4] if row_skip else None)
+            pm = ((rbl_ref[4], rbl_ref[5] if sub > 32 else None)
+                  if row_skip else None)
+            return leaf_mt(opp * ROWS_W, pch, rbl_ref[2], rbl_ref[3], b, pm)
 
         t_final = jax.lax.cond(rbl_ref[1] >= 0, flush, lambda b: b, t_final)
 
@@ -1736,8 +1773,8 @@ def pallas_intersect(
     (tools/traversal_stats.py) — while the added per-visit vector work
     rides the underutilized VPU. Results are ray-wise identical for any
     value (winners are per-ray strict-min best-t)."""
-    if packet_rays // 128 not in (8, 16, 32) or packet_rays % 128 != 0:
-        raise ValueError("packet_rays must be 1024, 2048 or 4096")
+    if packet_rays // 128 not in (8, 16, 32, 64) or packet_rays % 128 != 0:
+        raise ValueError("packet_rays must be 1024, 2048, 4096 or 8192")
     if tables.width in (4, 8):
         # Each W-wide inner pop pushes up to W entries: DFS occupancy is
         # bounded by (W-1)*depthW + 1, which the binary sizing rule
@@ -1860,7 +1897,10 @@ def pallas_intersect(
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((stack_depth,), jnp.int32),
-            pltpu.SMEM((stack_depth if row_skip else 1,), jnp.int32),
+            # Row masks: one i32 word per entry, TWO when sub > 32 (word
+            # 1 lives at [stack_depth + idx]).
+            pltpu.SMEM(((stack_depth * (2 if sub > 32 else 1))
+                        if row_skip else 1,), jnp.int32),
             pltpu.VMEM((w_rows, LEAF), jnp.float32),
             # defer_uv: phase-2 chunk DMAs carry the WHOLE fused table
             # (woop rows included — u/v recompute gathers coefficients).
