@@ -231,6 +231,9 @@ def main():
         pallas_defer_uv=os.environ.get("TRACY_BENCH_DEFERUV", "1") == "1",
         # Point-form MT (statistical-parity; see config.pallas_mt_point).
         pallas_mt_point=os.environ.get("TRACY_BENCH_MTPOINT", "0") == "1",
+        # Batched texel-page fetch (textured shade stage; bit-identical).
+        pallas_texfetch_batch=os.environ.get("TRACY_BENCH_TEXBATCH",
+                                             "1") == "1",
     )
     r = Renderer(cfg)
     state = init_state(cfg)

@@ -111,9 +111,12 @@ def test_pages_match_sample_nearest():
                 np.testing.assert_array_equal(got, want[:, c])
 
 
-def test_fetch_kernel_exact():
-    """The drain-loop kernel (interpret) returns exactly the addressed
-    page rows; page = -1 lanes read 0."""
+@pytest.mark.parametrize("batch", [False, True])
+def test_fetch_kernel_exact(batch):
+    """The page-fetch kernel (interpret) returns exactly the addressed
+    page rows; page = -1 lanes read 0. batch=True runs the 8-candidate
+    all-in-flight arena loop — must be bit-identical to the simple
+    drain loop."""
     scene = _textured_scene()
     tp = build_texture_pages(scene)
     pages = np.asarray(tp.pages)
@@ -123,7 +126,8 @@ def test_fetch_kernel_exact():
     page = rng.integers(-1, npages, n).astype(np.float32)
     lane = rng.integers(0, 128, n).astype(np.float32)
     out = np.asarray(fetch_texels(
-        tp.pages, jnp.asarray(page), jnp.asarray(lane), interpret=True))
+        tp.pages, jnp.asarray(page), jnp.asarray(lane), interpret=True,
+        batch=batch))
     out = out.transpose(0, 2, 3, 1).reshape(n, PAGE_ROWS)
     pg, lp = page.astype(np.int64), lane.astype(np.int64)
     for r in range(TEXEL_ROWS):
@@ -132,8 +136,9 @@ def test_fetch_kernel_exact():
         np.testing.assert_array_equal(out[:, r], want)
 
 
-@pytest.mark.parametrize("rr", [True, False])
-def test_textured_shade_matches_bounce(rr):
+@pytest.mark.parametrize("rr,fbatch", [(True, False), (False, False),
+                                       (True, True)])
+def test_textured_shade_matches_bounce(rr, fbatch):
     """One textured shading bounce (fetch + shade kernels, interpret) ==
     trace_paths' XLA bounce_step with the same canned intersections."""
     scene = _textured_scene()
@@ -169,7 +174,8 @@ def test_textured_shade_matches_bounce(rr):
         lambda o, d: shade_packets_textured(
             o, d, thr0, rad0, alive0, pix, hit_mask, t, normal, tangent,
             uv, mat, mtab, tp, skey, jnp.int32(0), num_materials=num_m,
-            seed=cfg.seed, russian_roulette=rr, interpret=True)
+            seed=cfg.seed, russian_roulette=rr, interpret=True,
+            fetch_batch=fbatch)
     )(o, d)
     np.testing.assert_array_equal(np.asarray(rad_x), np.asarray(rad_k))
 

@@ -178,6 +178,13 @@ class RenderConfig:
     # pallas_slab_batch (silently off otherwise).
     pallas_row_skip: bool = True
 
+    # Batched texel-page fetch: the textured shade stage's page loop
+    # extracts up to 8 candidate pages per vector->scalar drain (per-row
+    # mins) and issues their 8 KB DMAs all-in-flight — the serial
+    # per-distinct-page drain + DMA wait measured as the helmet bound
+    # (53.6 pages/packet, BASELINE.md round-4 SoL). Bit-identical.
+    pallas_texfetch_batch: bool = True
+
     # VMEM budget for the Pallas kernel's RESIDENT BVH node tables (the
     # per-triangle tables stream from HBM). ~2.6 B/triangle at the default
     # chunk-SAH leaf width incl. the 4-wide tables, so 2.5 MB holds ~1M

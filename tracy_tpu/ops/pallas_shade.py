@@ -392,6 +392,7 @@ def shade_packets_textured(
     sample_key, bounce,
     *, num_materials: int, seed: int, russian_roulette: bool,
     interpret: bool = False, packets_per_step: int = 8,
+    fetch_batch: bool = False,
 ):
     """One TEXTURED shading bounce over N rays (full-res nearest samples).
 
@@ -424,7 +425,8 @@ def shade_packets_textured(
         tex_pages, mat_id, uv, direction, hit_mask, alive)
     texp = fetch_texels(tex_pages.pages, page, lanepos,
                         interpret=interpret,
-                        packets_per_step=packets_per_step)
+                        packets_per_step=packets_per_step,
+                        batch=fetch_batch)
 
     pixf = jax.lax.bitcast_convert_type(
         pixel_idx.astype(jnp.uint32), jnp.float32)

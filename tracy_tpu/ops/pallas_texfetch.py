@@ -212,8 +212,11 @@ def lane_page_indices(tp: TexturePages, mat_id, uv, direction, hit_mask,
     return page, lanepos
 
 
+FETCH_BATCH = 8  # batched mode: candidate pages per drained iteration
+
+
 def _fetch_kernel(idx_ref, pages_ref, out_ref, buf, sem, *,
-                  packets_per_step: int):
+                  packets_per_step: int, batch: bool = False):
     for pkt in range(packets_per_step):
         pagef = idx_ref[pkt, 0]
         lanef = idx_ref[pkt, 1]
@@ -226,29 +229,93 @@ def _fetch_kernel(idx_ref, pages_ref, out_ref, buf, sem, *,
             lp = lanef.astype(jnp.int32)
             work0 = jnp.where(pagef < 0.0, BIGF, pagef)
 
-            def body(carry):
-                cur, work = carry
-                p = pl.multiple_of(cur.astype(jnp.int32) * PAGE_ROWS,
-                                   PAGE_ROWS)
-                cp = pltpu.make_async_copy(
-                    pages_ref.at[pl.ds(p, PAGE_ROWS), :], buf, sem.at[0])
-                cp.start()
-                cp.wait()
-                sel = pagef == cur
-                for r in range(TEXEL_ROWS):
-                    row = jnp.broadcast_to(buf[r].reshape(1, PAGE_TEXELS),
-                                           (8, 128))
-                    val = jnp.take_along_axis(row, lp, axis=1)
-                    out_ref[pkt, r] = jnp.where(sel, val, out_ref[pkt, r])
-                work = jnp.where(sel, BIGF, work)
-                return jnp.min(work), work
+            if batch:
+                # BATCHED page loop: one vector->scalar drain serves up
+                # to FETCH_BATCH distinct pages (the per-ROW min of the
+                # work plane yields 8 candidates at once), and their
+                # DMAs fly all-in-flight into arena slots. The serial
+                # per-distinct-page drain + DMA wait of the simple loop
+                # measured as the helmet bound (53.6 distinct pages per
+                # wave-1 packet, BASELINE.md round-4 SoL).
+                B = FETCH_BATCH
 
-            jax.lax.while_loop(lambda c: c[0] < BIGF, body,
-                               (jnp.min(work0), work0))
+                def extract(work):
+                    rm = jnp.min(work, axis=1)  # [8] per-row min pages
+                    nmin = jnp.min(rm)  # THE drain of this iteration
+                    return (nmin,) + tuple(rm[i] for i in range(B))
+
+                def body(carry):
+                    work = carry[0]
+                    cs = carry[2:]
+                    gos = []
+                    cps = []
+                    for i in range(B):
+                        dup = jnp.asarray(False)
+                        for j in range(i):
+                            dup = dup | (cs[i] == cs[j])
+                        go = (cs[i] < BIGF) & jnp.logical_not(dup)
+                        p = pl.multiple_of(
+                            cs[i].astype(jnp.int32) * PAGE_ROWS,
+                            PAGE_ROWS)
+                        cp = pltpu.make_async_copy(
+                            pages_ref.at[pl.ds(p, PAGE_ROWS), :],
+                            buf.at[:, pl.ds(i * PAGE_TEXELS,
+                                            PAGE_TEXELS)],
+                            sem.at[i])
+                        gos.append(go)
+                        cps.append(cp)
+
+                        @pl.when(go)
+                        def _(cp=cp):
+                            cp.start()
+                    for i in range(B):
+                        @pl.when(gos[i])
+                        def _(cp=cps[i]):
+                            cp.wait()
+                    for i in range(B):
+                        # Duplicate candidates keep go=False: their arena
+                        # slot is STALE — never select on it (the first
+                        # occurrence resolved those lanes already).
+                        sel = (pagef == cs[i]) & gos[i]
+                        for r in range(TEXEL_ROWS):
+                            row = jnp.broadcast_to(
+                                buf[r, i * PAGE_TEXELS:
+                                    (i + 1) * PAGE_TEXELS].reshape(
+                                        1, PAGE_TEXELS), (8, 128))
+                            val = jnp.take_along_axis(row, lp, axis=1)
+                            out_ref[pkt, r] = jnp.where(
+                                sel, val, out_ref[pkt, r])
+                        work = jnp.where(pagef == cs[i], BIGF, work)
+                    return (work,) + extract(work)
+
+                jax.lax.while_loop(lambda c: c[1] < BIGF, body,
+                                   (work0,) + extract(work0))
+            else:
+                def body(carry):
+                    cur, work = carry
+                    p = pl.multiple_of(cur.astype(jnp.int32) * PAGE_ROWS,
+                                       PAGE_ROWS)
+                    cp = pltpu.make_async_copy(
+                        pages_ref.at[pl.ds(p, PAGE_ROWS), :], buf,
+                        sem.at[0])
+                    cp.start()
+                    cp.wait()
+                    sel = pagef == cur
+                    for r in range(TEXEL_ROWS):
+                        row = jnp.broadcast_to(
+                            buf[r].reshape(1, PAGE_TEXELS), (8, 128))
+                        val = jnp.take_along_axis(row, lp, axis=1)
+                        out_ref[pkt, r] = jnp.where(sel, val,
+                                                    out_ref[pkt, r])
+                    work = jnp.where(sel, BIGF, work)
+                    return jnp.min(work), work
+
+                jax.lax.while_loop(lambda c: c[0] < BIGF, body,
+                                   (jnp.min(work0), work0))
 
 
 def fetch_texels(pages, page, lanepos, *, interpret: bool = False,
-                 packets_per_step: int = 8):
+                 packets_per_step: int = 8, batch: bool = False):
     """Fetch per-lane texel rows for N rays (N a multiple of 1024).
 
     page/lanepos: [N] f32 from lane_page_indices (page = -1 skips the
@@ -265,7 +332,8 @@ def fetch_texels(pages, page, lanepos, *, interpret: bool = False,
     while k % pps != 0:
         pps -= 1
 
-    kernel = functools.partial(_fetch_kernel, packets_per_step=pps)
+    kernel = functools.partial(_fetch_kernel, packets_per_step=pps,
+                               batch=batch)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((k, PAGE_ROWS, 8, 128), jnp.float32),
@@ -279,8 +347,10 @@ def fetch_texels(pages, page, lanepos, *, interpret: bool = False,
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((PAGE_ROWS, PAGE_TEXELS), jnp.float32),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.VMEM((PAGE_ROWS,
+                        (FETCH_BATCH if batch else 1) * PAGE_TEXELS),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((FETCH_BATCH if batch else 1,)),
         ],
         interpret=interpret,
     )(idx, pages)

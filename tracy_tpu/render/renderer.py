@@ -524,6 +524,7 @@ class Renderer:
                         o, d, thr, rad, alive, pix, hmask, t, normal,
                         tangent, uv, mat, mtab_a, pg, skey, bounce,
                         num_materials=num_m, seed=seed, russian_roulette=rr,
+                        fetch_batch=cfg.pallas_texfetch_batch,
                     )
 
                 return shade_fn
