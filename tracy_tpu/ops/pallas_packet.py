@@ -25,8 +25,12 @@ kernel runs the same algorithm on-core:
   material (+tangent when normal maps are present), as [packets, C, 8, 128]
   planes;
 * winner-attribute readback comes in six measured structures (`rb_mode`:
-  minloop/list/arena/vlist/fused/mt — see config.py); 'fused' (per-visit
-  vector resolve, no phase 2) is the production default;
+  minloop/list/arena/vlist/fused/mt — see config.py); 'vlist' (batched
+  phase-2 resolve over a traversal-recorded visit list) is the
+  production default, with `defer_uv` recomputing winner u/v there;
+* ROW SKIP (the round-4 headline lever, +53%): every stack entry carries
+  per-ray-row slab masks and the leaf MT row loop runs only live rows —
+  exact by AABB nesting + monotone best_t;
 * `leaf_pipeline` double-buffers the leaf chunk DMA (start at discovery,
   MT at the next leaf) so the copy overlaps inner-node traversal;
 * `pallas_trace_bounce` fuses the WHOLE bounce (this traversal + the
