@@ -230,7 +230,7 @@ def main():
         # Deferred winner-u/v extraction (vlist phase-2 recompute).
         pallas_defer_uv=os.environ.get("TRACY_BENCH_DEFERUV", "1") == "1",
         # Point-form MT (statistical-parity; see config.pallas_mt_point).
-        pallas_mt_point=os.environ.get("TRACY_BENCH_MTPOINT", "0") == "1",
+        pallas_mt_point=os.environ.get("TRACY_BENCH_MTPOINT", "1") == "1",
         # Batched texel-page fetch (textured shade stage; bit-identical).
         pallas_texfetch_batch=os.environ.get("TRACY_BENCH_TEXBATCH",
                                              "1") == "1",

@@ -102,7 +102,7 @@ def main() -> int:
             use_pallas_shade=use_shade,
             pallas_woop_bf16=os.environ.get("PARITY_WOOPBF16", "0") == "1",
             pallas_bvh_width=int(os.environ.get("PARITY_BVHW", "4")),
-            pallas_mt_point=os.environ.get("PARITY_MTPOINT", "0") == "1",
+            pallas_mt_point=os.environ.get("PARITY_MTPOINT", "1") == "1",
         )
         r = Renderer(cfg)
         st = init_state(cfg)

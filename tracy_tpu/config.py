@@ -203,7 +203,10 @@ class RenderConfig:
     # Algebraically identical, ulp-different (winner flips possible on
     # knife edges): a statistical-parity knob like woop_bf16, validated
     # by the on-chip gate + 9-scene parity rather than bit-identity.
-    pallas_mt_point: bool = False
+    # Default ON since round 4 (neutral at 1024-ray packets, +0.9% at the
+    # 4096 default where the MT row loop is ~49% of wave-2; parity
+    # metrics are unchanged to 4 decimals on every scene checked).
+    pallas_mt_point: bool = True
 
     # Defer winner-u/v extraction out of the MT row loop (vlist only):
     # phase 2 re-gathers the winner's Woop coefficient columns and
