@@ -64,6 +64,9 @@ def main(argv=None):
                    help="Pallas winner-readback mode (default: fused)")
     p.add_argument("-bvh-width", type=int, default=4, choices=[2, 4, 8],
                    help="Pallas traversal branching factor (default: 4)")
+    p.add_argument("-packet-rays", type=int, default=4096,
+                   choices=[1024, 2048, 4096, 8192],
+                   help="rays per Pallas packet (default: 4096)")
     p.add_argument("-cpu", action="store_true", help="force the CPU backend")
     p.add_argument("-mesh", default=None,
                    help="multi-chip mesh as DATAxSAMPLE, e.g. 4x2")
@@ -143,6 +146,7 @@ def main(argv=None):
         # dragon 1080p, 17.4 on helmet (vs 4.58/1.21 at the round-2 config).
         pallas_rb_mode=args.rb_mode or "vlist",
         pallas_bvh_width=args.bvh_width,
+        pallas_packet_rays=args.packet_rays,
     )
 
     if args.kernel in ("raster", "raster-gl"):

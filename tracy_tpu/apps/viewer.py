@@ -81,8 +81,24 @@ def main(argv=None):
     else:
         builder = default_scene(args.width, args.height)
     scene = builder.build()
+    # Production knobs on TPU (the config defaults carry the measured
+    # kernel config; wave compaction needs a frame-size-derived group).
+    try:
+        import jax as _jax
+
+        on_tpu = not args.cpu and _jax.default_backend() not in ("cpu",)
+    except Exception:
+        on_tpu = False
+    if on_tpu:
+        from tracy_tpu.accel.reorder import pick_compact_group
+
+        compact = pick_compact_group(builder.width * builder.height)
+    else:
+        compact = 0
     cfg = RenderConfig(width=builder.width, height=builder.height,
-                       spp=args.spp, max_bounces=args.bounces)
+                       spp=args.spp, max_bounces=args.bounces,
+                       accel="packet" if on_tpu else "bvh",
+                       wave_compact_group=compact)
 
     cam = builder.camera_params
     controller = CameraController(CameraState(
