@@ -515,6 +515,12 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
                 for k in range(_ps.STATE_PLANES - 1):
                     out_ref[pkt, k] = rays_ref[pkt, k]
             continue
+        if "emptybody" in _ABLATE:
+            # Machinery-floor probe: the packet body writes ONE constant
+            # plane and nothing else (grid step + block pipeline cost
+            # only; results wrong by design).
+            out_ref[pkt, 0] = jnp.zeros((sub, 128), jnp.float32) - BIG
+            continue
         if "nofastpath" in _ABLATE:
             # Timing bisection: run every packet body unconditionally (the
             # pre-892d708 structure; dead packets pay the ~13.7us floor).
