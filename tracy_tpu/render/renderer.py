@@ -591,6 +591,7 @@ class Renderer:
         pipe = cfg.pallas_leaf_pipeline
         sbatch = cfg.pallas_slab_batch
         rskip = cfg.pallas_row_skip
+        mtp = cfg.pallas_mt_point
 
         def bounce_bind(acc):
             def bounce(o, d, thr, rad, alive, pix, skey, bounce_i):
@@ -599,6 +600,7 @@ class Renderer:
                     num_materials=num_m, seed=seed, russian_roulette=rr,
                     stack_depth=depth, packets_per_step=pps,
                     leaf_pipeline=pipe, slab_batch=sbatch, row_skip=rskip,
+                    mt_point=mtp,
                 )
 
             if cfg.wave_compact_group > 0:
@@ -616,7 +618,7 @@ class Renderer:
                         bounce_i, num_materials=num_m, seed=seed,
                         russian_roulette=rr, stack_depth=depth,
                         packets_per_step=pps, leaf_pipeline=pipe,
-                        slab_batch=sbatch, row_skip=rskip,
+                        slab_batch=sbatch, row_skip=rskip, mt_point=mtp,
                     )
 
                 return bounce
