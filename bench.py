@@ -232,8 +232,9 @@ def main():
         # Point-form MT (statistical-parity; see config.pallas_mt_point).
         pallas_mt_point=os.environ.get("TRACY_BENCH_MTPOINT", "1") == "1",
         # Batched texel-page fetch (textured shade stage; bit-identical).
-        pallas_texfetch_batch=os.environ.get("TRACY_BENCH_TEXBATCH",
-                                             "1") == "1",
+        # 0 = off, 8/16 = candidate pages per drain ("1" = legacy on = 8).
+        pallas_texfetch_batch=(lambda s: 8 if s == "1" else int(s))(
+            os.environ.get("TRACY_BENCH_TEXBATCH", "8")),
     )
     r = Renderer(cfg)
     state = init_state(cfg)
@@ -349,6 +350,12 @@ def main():
             "packet_rays": cfg.pallas_packet_rays,
             "defer_uv": cfg.pallas_defer_uv,
             "mt_point": cfg.pallas_mt_point,
+            # The bounce megakernel has eligibility gates beyond its config
+            # flag (rb_mode='fused', untextured, Pallas tables selected) —
+            # record whether it actually BOUND, not whether it was asked
+            # for (session K2 benched "bounce on" that never engaged).
+            "bounce": bool(getattr(r, "_bounce_bind", None)),
+            "texfetch_batch": cfg.pallas_texfetch_batch,
         },
     }))
 

@@ -111,12 +111,12 @@ def test_pages_match_sample_nearest():
                 np.testing.assert_array_equal(got, want[:, c])
 
 
-@pytest.mark.parametrize("batch", [False, True])
+@pytest.mark.parametrize("batch", [False, True, 16])
 def test_fetch_kernel_exact(batch):
     """The page-fetch kernel (interpret) returns exactly the addressed
-    page rows; page = -1 lanes read 0. batch=True runs the 8-candidate
-    all-in-flight arena loop — must be bit-identical to the simple
-    drain loop."""
+    page rows; page = -1 lanes read 0. batch=True/8 runs the 8-candidate
+    all-in-flight arena loop, 16 the two-extraction-round variant — both
+    must be bit-identical to the simple drain loop."""
     scene = _textured_scene()
     tp = build_texture_pages(scene)
     pages = np.asarray(tp.pages)

@@ -103,6 +103,8 @@ def main() -> int:
             pallas_woop_bf16=os.environ.get("PARITY_WOOPBF16", "0") == "1",
             pallas_bvh_width=int(os.environ.get("PARITY_BVHW", "4")),
             pallas_mt_point=os.environ.get("PARITY_MTPOINT", "1") == "1",
+            pallas_texfetch_batch=int(os.environ.get("PARITY_TEXBATCH",
+                                                     "8")),
         )
         r = Renderer(cfg)
         st = init_state(cfg)

@@ -179,11 +179,13 @@ class RenderConfig:
     pallas_row_skip: bool = True
 
     # Batched texel-page fetch: the textured shade stage's page loop
-    # extracts up to 8 candidate pages per vector->scalar drain (per-row
-    # mins) and issues their 8 KB DMAs all-in-flight — the serial
-    # per-distinct-page drain + DMA wait measured as the helmet bound
-    # (53.6 pages/packet, BASELINE.md round-4 SoL). Bit-identical.
-    pallas_texfetch_batch: bool = True
+    # extracts up to N candidate pages per vector->scalar drain (per-row
+    # mins; 16 masks the first round's winners and reduces again on the
+    # same drained chain) and issues their 8 KB DMAs all-in-flight — the
+    # serial per-distinct-page drain + DMA wait measured as the helmet
+    # bound (53.6 pages/packet, BASELINE.md round-4 SoL). 0 = simple
+    # per-page drain loop; 8/16 = candidates per drain. Bit-identical.
+    pallas_texfetch_batch: int = 8
 
     # VMEM budget for the Pallas kernel's RESIDENT BVH node tables (the
     # per-triangle tables stream from HBM). ~2.6 B/triangle at the default

@@ -392,7 +392,7 @@ def shade_packets_textured(
     sample_key, bounce,
     *, num_materials: int, seed: int, russian_roulette: bool,
     interpret: bool = False, packets_per_step: int = 8,
-    fetch_batch: bool = False,
+    fetch_batch: int | bool = False,
 ):
     """One TEXTURED shading bounce over N rays (full-res nearest samples).
 

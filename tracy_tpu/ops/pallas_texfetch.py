@@ -212,11 +212,24 @@ def lane_page_indices(tp: TexturePages, mat_id, uv, direction, hit_mask,
     return page, lanepos
 
 
-FETCH_BATCH = 8  # batched mode: candidate pages per drained iteration
+FETCH_BATCH = 8  # default batched mode: candidate pages per drained iter
+
+
+def _norm_batch(batch) -> int:
+    """Normalize the batch knob: False/0 = simple drain loop, True = 8,
+    else an int multiple of 8 (candidates per drained iteration)."""
+    if batch is True:
+        b = FETCH_BATCH
+    elif batch is False or batch is None:
+        b = 0
+    else:
+        b = int(batch)
+    assert b % 8 == 0 and 0 <= b <= 64, b
+    return b
 
 
 def _fetch_kernel(idx_ref, pages_ref, out_ref, buf, sem, *,
-                  packets_per_step: int, batch: bool = False):
+                  packets_per_step: int, batch: int = 0):
     for pkt in range(packets_per_step):
         pagef = idx_ref[pkt, 0]
         lanef = idx_ref[pkt, 1]
@@ -231,18 +244,31 @@ def _fetch_kernel(idx_ref, pages_ref, out_ref, buf, sem, *,
 
             if batch:
                 # BATCHED page loop: one vector->scalar drain serves up
-                # to FETCH_BATCH distinct pages (the per-ROW min of the
-                # work plane yields 8 candidates at once), and their
-                # DMAs fly all-in-flight into arena slots. The serial
+                # to `batch` distinct pages, and their DMAs fly
+                # all-in-flight into arena slots. The serial
                 # per-distinct-page drain + DMA wait of the simple loop
                 # measured as the helmet bound (53.6 distinct pages per
-                # wave-1 packet, BASELINE.md round-4 SoL).
-                B = FETCH_BATCH
+                # wave-1 packet, BASELINE.md round-4 SoL). The per-ROW
+                # min of the [8,128] work plane yields 8 candidates per
+                # extraction round; batch=16 masks the first round's
+                # winners and reduces again — the second round rides the
+                # SAME drain (the chain is already synced by the first
+                # scalar read), halving the page-loop iteration count
+                # again when packets touch >8 distinct pages.
+                B = batch
+                rounds = B // 8
 
                 def extract(work):
-                    rm = jnp.min(work, axis=1)  # [8] per-row min pages
-                    nmin = jnp.min(rm)  # THE drain of this iteration
-                    return (nmin,) + tuple(rm[i] for i in range(B))
+                    cands = []
+                    w = work
+                    for k in range(rounds):
+                        rm = jnp.min(w, axis=1, keepdims=True)  # [8,1]
+                        cands.append(rm)
+                        if k + 1 < rounds:
+                            w = jnp.where(w == rm, BIGF, w)
+                    nmin = jnp.min(cands[0])  # THE drain of this iter
+                    return (nmin,) + tuple(
+                        rm[i, 0] for rm in cands for i in range(8))
 
                 def body(carry):
                     work = carry[0]
@@ -315,7 +341,7 @@ def _fetch_kernel(idx_ref, pages_ref, out_ref, buf, sem, *,
 
 
 def fetch_texels(pages, page, lanepos, *, interpret: bool = False,
-                 packets_per_step: int = 8, batch: bool = False):
+                 packets_per_step: int = 8, batch: int | bool = False):
     """Fetch per-lane texel rows for N rays (N a multiple of 1024).
 
     page/lanepos: [N] f32 from lane_page_indices (page = -1 skips the
@@ -332,8 +358,9 @@ def fetch_texels(pages, page, lanepos, *, interpret: bool = False,
     while k % pps != 0:
         pps -= 1
 
+    b = _norm_batch(batch)
     kernel = functools.partial(_fetch_kernel, packets_per_step=pps,
-                               batch=batch)
+                               batch=b)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((k, PAGE_ROWS, 8, 128), jnp.float32),
@@ -347,10 +374,8 @@ def fetch_texels(pages, page, lanepos, *, interpret: bool = False,
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((PAGE_ROWS,
-                        (FETCH_BATCH if batch else 1) * PAGE_TEXELS),
-                       jnp.float32),
-            pltpu.SemaphoreType.DMA((FETCH_BATCH if batch else 1,)),
+            pltpu.VMEM((PAGE_ROWS, max(b, 1) * PAGE_TEXELS), jnp.float32),
+            pltpu.SemaphoreType.DMA((max(b, 1),)),
         ],
         interpret=interpret,
     )(idx, pages)
