@@ -231,10 +231,12 @@ def main():
         pallas_defer_uv=os.environ.get("TRACY_BENCH_DEFERUV", "1") == "1",
         # Point-form MT (statistical-parity; see config.pallas_mt_point).
         pallas_mt_point=os.environ.get("TRACY_BENCH_MTPOINT", "1") == "1",
+        # MXU MT transform ('', 'default', 'high', 'highest').
+        pallas_mt_mxu=os.environ.get("TRACY_BENCH_MTMXU", ""),
         # Batched texel-page fetch (textured shade stage; bit-identical).
         # 0 = off, 8/16 = candidate pages per drain ("1" = legacy on = 8).
         pallas_texfetch_batch=(lambda s: 8 if s == "1" else int(s))(
-            os.environ.get("TRACY_BENCH_TEXBATCH", "8")),
+            os.environ.get("TRACY_BENCH_TEXBATCH", "16")),
     )
     r = Renderer(cfg)
     state = init_state(cfg)
@@ -350,6 +352,7 @@ def main():
             "packet_rays": cfg.pallas_packet_rays,
             "defer_uv": cfg.pallas_defer_uv,
             "mt_point": cfg.pallas_mt_point,
+            "mt_mxu": cfg.pallas_mt_mxu,
             # The bounce megakernel has eligibility gates beyond its config
             # flag (rb_mode='fused', untextured, Pallas tables selected) —
             # record whether it actually BOUND, not whether it was asked

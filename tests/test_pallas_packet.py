@@ -671,6 +671,39 @@ def test_pallas_defer_uv(textured, width):
                                   np.asarray(ad.material)[m])
 
 
+@pytest.mark.parametrize("prec", ["high", "highest"])
+def test_pallas_mt_mxu(prec):
+    """MXU MT transform (one [384,4]@[4,256] dot per ray row) vs the VPU
+    chains. In interpret mode the dot runs as an f32 XLA contraction, so
+    only association order differs from the mul-add chains: a
+    statistical-parity knob (like mt_point) — assert near-total mask
+    agreement and tight t agreement on co-hits, not bit equality."""
+    b = default_scene(32, 24)
+    scene = b.build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    i0 = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_mode="vlist", width=4,
+                                 slab_batch=True, row_skip=True,
+                                 defer_uv=True)
+    ix = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_mode="vlist", width=4,
+                                 slab_batch=True, row_skip=True,
+                                 defer_uv=True, mt_mxu=prec)
+    o, d = _rays_for(scene, 3072, seed=5)
+    act = jnp.ones(3072, bool).at[128:384].set(False)
+    h0, a0 = i0(o, d, act)
+    hx, ax = ix(o, d, act)
+    m0, mx = np.asarray(h0.mask), np.asarray(hx.mask)
+    assert (m0 == mx).mean() > 0.999
+    both = m0 & mx
+    t0, tx = np.asarray(h0.t)[both], np.asarray(hx.t)[both]
+    close = np.abs(t0 - tx) <= 1e-4 * np.abs(t0) + 1e-5
+    assert close.mean() > 0.999
+    mat0 = np.asarray(a0.material)[both]
+    matx = np.asarray(ax.material)[both]
+    assert (mat0 == matx).mean() > 0.999
+
+
 def test_pallas_row_skip_defer_uv_combined():
     """Both levers together (the production candidate config)."""
     b = default_scene(32, 24)

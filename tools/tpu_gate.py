@@ -96,37 +96,45 @@ def main() -> int:
     # is statistical (~0.2% t quantization), so the agreement bar is lower.
     if os.environ.get("TRACY_GATE_EXTRA", "1") == "1":
         for (label, pack, rbmode, width, pipe, prays, sbat, rskip,
-             duv, mtp) in [
-            ("woopbf16-fused", True, "fused", 2, False, 1024, False, 0, 0, 0),
-            ("woopbf16-vlist", True, "vlist", 2, False, 1024, False, 0, 0, 0),
-            ("4wide-fused", False, "fused", 4, False, 1024, False, 0, 0, 0),
+             duv, mtp, mtx) in [
+            ("woopbf16-fused", True, "fused", 2, False, 1024, False, 0, 0, 0, ""),
+            ("woopbf16-vlist", True, "vlist", 2, False, 1024, False, 0, 0, 0, ""),
+            ("4wide-fused", False, "fused", 4, False, 1024, False, 0, 0, 0, ""),
             # The leaf pipeline's double-buffered DMA is the one variant
             # interpret mode can't validate for races — check its RESULTS
             # on a real wave, not just that it compiles.
-            ("pipeline-fused", False, "fused", 2, True, 1024, False, 0, 0, 0),
+            ("pipeline-fused", False, "fused", 2, True, 1024, False, 0, 0, 0, ""),
             # Wide packets (16/32 sublanes): verify Mosaic accepts the
             # non-8 sublane planes AND the results match on a real wave.
-            ("prays2048-fused", False, "fused", 4, False, 2048, False, 0, 0, 0),
-            ("prays4096-fused", False, "fused", 4, False, 4096, False, 0, 0, 0),
-            ("prays4096-vlist", False, "vlist", 4, False, 4096, False, 0, 0, 0),
+            ("prays2048-fused", False, "fused", 4, False, 2048, False, 0, 0, 0, ""),
+            ("prays4096-fused", False, "fused", 4, False, 4096, False, 0, 0, 0, ""),
+            ("prays4096-vlist", False, "vlist", 4, False, 4096, False, 0, 0, 0, ""),
             # Batched slab reductions (one drain per inner visit).
-            ("slabbatch-vlist4", False, "vlist", 4, False, 1024, True, 0, 0, 0),
-            ("slabbatch-fused4", False, "fused", 4, False, 1024, True, 0, 0, 0),
+            ("slabbatch-vlist4", False, "vlist", 4, False, 1024, True, 0, 0, 0, ""),
+            ("slabbatch-fused4", False, "fused", 4, False, 1024, True, 0, 0, 0, ""),
             # Row-skip leaf MT + deferred u/v (round-4 levers; both exact).
-            ("rowskip-vlist4", False, "vlist", 4, False, 1024, True, 1, 0, 0),
-            ("rowskip-fused4", False, "fused", 4, False, 1024, True, 1, 0, 0),
+            ("rowskip-vlist4", False, "vlist", 4, False, 1024, True, 1, 0, 0, ""),
+            ("rowskip-fused4", False, "fused", 4, False, 1024, True, 1, 0, 0, ""),
             ("rowskip-duv-vlist4", False, "vlist", 4, False, 1024, True,
-             1, 1, 0),
+             1, 1, 0, ""),
             # Point-form MT: statistical agreement bar (ulp changes can
             # flip knife-edge winners).
             ("mtpoint-rowskip-vlist4", False, "vlist", 4, False, 1024,
-             True, 1, 1, 1),
+             True, 1, 1, 1, ""),
             # 8-wide traversal (half the pops of 4-wide).
             ("rowskip-duv-vlist8", False, "vlist", 8, False, 1024, True,
-             1, 1, 0),
+             1, 1, 0, ""),
             # 8192-ray packets (sub=64: two-word row masks).
             ("prays8192-rowskip", False, "vlist", 4, False, 8192, True,
-             1, 1, 0),
+             1, 1, 0, ""),
+            # MXU MT transform (one [384,4]@[4,256] dot per ray row):
+            # statistical bar — bf16-pass association differs from the
+            # VPU chain. 'high' = error-compensated bf16x3 (candidate);
+            # 'default' = 1-pass bf16 (cheapest, loosest).
+            ("mtmxu-high-rowskip", False, "vlist", 4, False, 4096, True,
+             1, 1, 1, "high"),
+            ("mtmxu-default-rowskip", False, "vlist", 4, False, 4096,
+             True, 1, 1, 1, "default"),
         ]:
             t0 = time.perf_counter()
             try:
@@ -134,12 +142,13 @@ def main() -> int:
                                   pack_woop=pack, width=width)
                 hv, _av = jax.jit(
                     lambda oo, dd, aa, _tb=tb, _rb=rbmode, _pi=pipe,
-                    _pr=prays, _sb=sbat, _rs=rskip, _du=duv, _mp=mtp:
+                    _pr=prays, _sb=sbat, _rs=rskip, _du=duv, _mp=mtp,
+                    _mx=mtx:
                     pallas_intersect(
                         oo, dd, aa, _tb, interpret=interp, rb_mode=_rb,
                         leaf_pipeline=_pi, packet_rays=_pr, slab_batch=_sb,
                         row_skip=bool(_rs), defer_uv=bool(_du),
-                        mt_point=bool(_mp))
+                        mt_point=bool(_mp), mt_mxu=_mx)
                 )(o, d, act)
                 hv.t.block_until_ready()
                 mv = np.asarray(hv.mask)
@@ -152,7 +161,7 @@ def main() -> int:
                 close = np.where(
                     both, np.abs(tx - tv) <= 1e-2 * np.abs(tx) + 1e-3, True
                 ).mean()
-                bar = (0.98, 0.99) if (pack or mtp) else (0.999, 0.9999)
+                bar = (0.98, 0.99) if (pack or mtp or mtx) else (0.999, 0.9999)
                 verdict = ("ok" if agree > bar[0] and close > bar[1]
                            else "MISMATCH")
                 print(f"[gate] variant {label}: agree={agree:.4f} "

@@ -104,7 +104,7 @@ def main() -> int:
             pallas_bvh_width=int(os.environ.get("PARITY_BVHW", "4")),
             pallas_mt_point=os.environ.get("PARITY_MTPOINT", "1") == "1",
             pallas_texfetch_batch=int(os.environ.get("PARITY_TEXBATCH",
-                                                     "8")),
+                                                     "16")),
         )
         r = Renderer(cfg)
         st = init_state(cfg)

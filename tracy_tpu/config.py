@@ -185,7 +185,8 @@ class RenderConfig:
     # serial per-distinct-page drain + DMA wait measured as the helmet
     # bound (53.6 pages/packet, BASELINE.md round-4 SoL). 0 = simple
     # per-page drain loop; 8/16 = candidates per drain. Bit-identical.
-    pallas_texfetch_batch: int = 8
+    # Default 16 (session L2: helmet 21.35 -> 21.80, on-chip parity OK).
+    pallas_texfetch_batch: int = 16
 
     # VMEM budget for the Pallas kernel's RESIDENT BVH node tables (the
     # per-triangle tables stream from HBM). ~2.6 B/triangle at the default
@@ -209,6 +210,15 @@ class RenderConfig:
     # 4096 default where the MT row loop is ~49% of wave-2; parity
     # metrics are unchanged to 4 decimals on every scene checked).
     pallas_mt_point: bool = True
+
+    # MXU Möller–Trumbore transform: evaluate the whole per-row Woop
+    # transform (o'u/d'u/o'v/d'v/o'z/d'z) as ONE [3*128,4] @ [4,256]
+    # contraction on the systolic array instead of ~26 serial VPU plane
+    # ops. '' = off (VPU chains); 'default' = one bf16 pass, 'high' =
+    # error-compensated bf16x3, 'highest' = bf16x6 (~f32). Like
+    # woop_bf16/mt_point this changes accept-test ulps -> statistical-
+    # parity knob (gate variants + tpu_parity validate on chip).
+    pallas_mt_mxu: str = ""
 
     # Defer winner-u/v extraction out of the MT row loop (vlist only):
     # phase 2 re-gathers the winner's Woop coefficient columns and

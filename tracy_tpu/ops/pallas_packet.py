@@ -109,6 +109,15 @@ ARENA_BATCH = 32
 EPS = float(tm.EPS)
 BIG = 3.4028235e38
 
+# MXU MT-transform precision menu (config.pallas_mt_mxu): TPU f32 matmuls
+# decompose into bf16 passes — 1 ('default'), 3 error-compensated ('high'),
+# 6 (~f32, 'highest').
+_MXU_PREC = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
@@ -470,7 +479,7 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
             shade: dict = None, mtab_ref=None, sc_ref=None,
             sub: int = 8, slab_batch: bool = False,
             row_skip: bool = False, defer_uv: bool = False,
-            mt_point: bool = False):
+            mt_point: bool = False, mt_mxu: str = ""):
     """One grid step = `packets_per_step` packets, unrolled with STATIC
     packet indices. Round 1 looped packets with fori and indexed
     rays_ref/out_ref by the traced loop index — a value-level dynamic
@@ -508,7 +517,8 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
                              shade_keys=(sample_key, bounce),
                              mtab_ref=mtab_ref, sub=sub,
                              slab_batch=slab_batch, row_skip=row_skip,
-                             defer_uv=defer_uv, mt_point=mt_point)
+                             defer_uv=defer_uv, mt_point=mt_point,
+                             mt_mxu=mt_mxu)
 
             @pl.when(jnp.logical_not(any_live))
             def _(pkt=pkt):
@@ -535,7 +545,8 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
                          leaf_pipeline=leaf_pipeline, bvh_width=bvh_width,
                          woop_bf16=woop_bf16, sub=sub,
                          slab_batch=slab_batch, row_skip=row_skip,
-                         defer_uv=defer_uv, mt_point=mt_point)
+                         defer_uv=defer_uv, mt_point=mt_point,
+                             mt_mxu=mt_mxu)
             continue
         # Dead-packet fast path: per-wave compaction leaves late waves
         # mostly dead packets, and the full body's plumbing floor (ray
@@ -556,7 +567,8 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
                          leaf_pipeline=leaf_pipeline, bvh_width=bvh_width,
                          woop_bf16=woop_bf16, sub=sub,
                          slab_batch=slab_batch, row_skip=row_skip,
-                         defer_uv=defer_uv, mt_point=mt_point)
+                         defer_uv=defer_uv, mt_point=mt_point,
+                             mt_mxu=mt_mxu)
 
         @pl.when(jnp.logical_not(any_live))
         def _(pkt=pkt):
@@ -578,7 +590,8 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                  woop_bf16: bool = False, shade: dict = None,
                  shade_keys=None, mtab_ref=None, sub: int = 8,
                  slab_batch: bool = False, row_skip: bool = False,
-                 defer_uv: bool = False, mt_point: bool = False):
+                 defer_uv: bool = False, mt_point: bool = False,
+                 mt_mxu: str = ""):
     from tracy_tpu.ops import pallas_shade as _ps
 
     woop_rows = 8 if woop_bf16 else WOOP_ROWS
@@ -839,6 +852,25 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
             W = [jnp.full((LEAF, 1), jnp.float32(0.01 * (k + 1)))
                  for k in range(12)]
 
+        A_mt = None
+        if mt_mxu:
+            # MXU Möller–Trumbore transform (round-5 lead #1): the whole
+            # per-row Woop transform — six [LEAF,4]·[4] chains (o'u, d'u,
+            # o'v, d'v, o'z, d'z) — is ONE [3*LEAF, 4] @ [4, 256]
+            # contraction per ray row on the systolic array, replacing
+            # ~26 serial VPU plane ops. The coefficient matrix is loop-
+            # invariant per leaf visit (Mosaic hoists it); only the tiny
+            # [4, 256] RHS (o|d rows) is built per row. Precision rides
+            # the lax dot knob: 'default' = one bf16 pass (statistical
+            # parity, like woop_bf16), 'high' = error-compensated bf16x3,
+            # 'highest' = bf16x6 (~f32). Accept-test numerics differ from
+            # the VPU chain by association order -> statistical-parity
+            # knob: gate variants + tpu_parity validate on chip.
+            A_mt = jnp.concatenate(
+                [jnp.concatenate(W[0:4], axis=1),
+                 jnp.concatenate(W[4:8], axis=1),
+                 jnp.concatenate(W[8:12], axis=1)], axis=0)  # [3*LEAF, 4]
+
         mt_comps = ()
         if rb_mode == "mt" and "noreadback" not in _ABLATE:
             # rb_mode='mt': winner attributes are extracted INSIDE the
@@ -909,13 +941,33 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
             drx, dry, drz = row(dx), row(dy), row(dz)
 
             # o'_k = R_k . o + b_k ; d'_k = R_k . d   -> [LEAF, 128]
-            opz = W[8] * orx + W[9] * ory + W[10] * orz + W[11]
-            dpz = W[8] * drx + W[9] * dry + W[10] * drz
+            mxu = None
+            if mt_mxu:
+                o4 = jnp.stack(
+                    [orx, ory, orz, jnp.ones_like(orx)], axis=0)
+                d4 = jnp.stack(
+                    [drx, dry, drz, jnp.zeros_like(drx)], axis=0)
+                rhs = jnp.concatenate([o4, d4], axis=1)  # [4, 256]
+                big = jax.lax.dot_general(
+                    A_mt, rhs, (((1,), (0,)), ((), ())),
+                    precision=_MXU_PREC[mt_mxu],
+                    preferred_element_type=jnp.float32)  # [3*LEAF, 256]
+                mxu = (big[:LEAF, :128], big[:LEAF, 128:],
+                       big[LEAF:2 * LEAF, :128], big[LEAF:2 * LEAF, 128:])
+                opz = big[2 * LEAF:, :128]
+                dpz = big[2 * LEAF:, 128:]
+            else:
+                opz = W[8] * orx + W[9] * ory + W[10] * orz + W[11]
+                dpz = W[8] * drx + W[9] * dry + W[10] * drz
             # Front-facing iff d'z < 0 (MT det = -d.n); guard the rcp.
             dz_ok = dpz < 0.0
             inv_dz = jnp.where(dz_ok, 1.0 / jnp.where(dz_ok, dpz, -1.0), 0.0)
             tt = -opz * inv_dz
-            if "mtnoxy" in _ABLATE:
+            if mxu is not None:
+                ou_, du_, ov_, dv_ = mxu
+                uu = ou_ + tt * du_
+                vv = ov_ + tt * dv_
+            elif "mtnoxy" in _ABLATE:
                 # Timing probe: skip the x/y Woop chains (results wrong) —
                 # sizes the transform-math share of the MT row loop.
                 uu = tt * jnp.float32(1e-6)
@@ -1768,7 +1820,7 @@ def pallas_intersect(
     rb_mode: str = "minloop", leaf_pipeline: bool = False,
     packet_rays: int = PACKET, slab_batch: bool = False,
     row_skip: bool = False, defer_uv: bool = False,
-    mt_point: bool = False,
+    mt_point: bool = False, mt_mxu: str = "",
 ):
     """Full wavefront intersection via the Pallas kernel.
 
@@ -1785,6 +1837,10 @@ def pallas_intersect(
     value (winners are per-ray strict-min best-t)."""
     if packet_rays // 128 not in (8, 16, 32, 64) or packet_rays % 128 != 0:
         raise ValueError("packet_rays must be 1024, 2048, 4096 or 8192")
+    if mt_mxu not in ("",) + tuple(_MXU_PREC):
+        raise ValueError(
+            f"mt_mxu must be '' or one of {sorted(_MXU_PREC)}, got "
+            f"{mt_mxu!r}")
     if tables.width in (4, 8):
         # Each W-wide inner pop pushes up to W entries: DFS occupancy is
         # bounded by (W-1)*depthW + 1, which the binary sizing rule
@@ -1862,6 +1918,7 @@ def pallas_intersect(
         leaf_pipeline=leaf_pipeline, bvh_width=tables.width,
         woop_bf16=tables.woop_bf16, sub=sub, slab_batch=slab_batch,
         row_skip=row_skip, defer_uv=defer_uv, mt_point=mt_point,
+        mt_mxu=mt_mxu,
     )
 
     def kernel_wrap(nb, nm, n4b, n4m, tab, rays_blk, out_blk,
@@ -1966,7 +2023,7 @@ def pallas_trace_bounce(
     stack_depth: int = 64, interpret: bool = False,
     packets_per_step: int = 2, leaf_pipeline: bool = False,
     slab_batch: bool = False, row_skip: bool = False,
-    mt_point: bool = False,
+    mt_point: bool = False, mt_mxu: str = "",
 ):
     """FUSED BOUNCE megakernel: packet BVH traversal + leaf MT + winner
     attributes + the WHOLE shading step (material lookup, scatter, sky,
@@ -2031,7 +2088,7 @@ def pallas_trace_bounce(
                 rb_packed=tables.packed, rb_mode="fused",
                 leaf_pipeline=leaf_pipeline, bvh_width=tables.width,
                 woop_bf16=tables.woop_bf16, slab_batch=slab_batch,
-                row_skip=row_skip, mt_point=mt_point,
+                row_skip=row_skip, mt_point=mt_point, mt_mxu=mt_mxu,
                 shade=shade, sc_ref=sc_r, mtab_ref=mtab_r)
 
     attr_rows = tables.tab.shape[0] - tables.woop_rows
@@ -2142,7 +2199,8 @@ def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,
                             slab_batch: bool = False,
                             row_skip: bool = False,
                             defer_uv: bool = False,
-                            mt_point: bool = False):
+                            mt_point: bool = False,
+                            mt_mxu: str = ""):
     """Rich IntersectFn backed by the Pallas kernel, or None if the scene
     doesn't fit the VMEM budget. The returned function carries its
     PallasSceneTables as `.tables` (slot_tri maps winner slots to tris)."""
@@ -2160,7 +2218,8 @@ def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,
                                 rb_mode=rb_mode, leaf_pipeline=leaf_pipeline,
                                 packet_rays=packet_rays,
                                 slab_batch=slab_batch, row_skip=row_skip,
-                                defer_uv=defer_uv, mt_point=mt_point)
+                                defer_uv=defer_uv, mt_point=mt_point,
+                                mt_mxu=mt_mxu)
 
     intersect.tables = tables
     return intersect

@@ -396,6 +396,7 @@ class Renderer:
                 rskip = self.cfg.pallas_row_skip
                 duv = (self.cfg.pallas_defer_uv and rbm == "vlist")
                 mtp = self.cfg.pallas_mt_point
+                mtx = self.cfg.pallas_mt_mxu
                 self._accel_data = tables
 
                 def bind(sc, acc):
@@ -406,7 +407,7 @@ class Renderer:
                             rb_prefetch=rbp, rb_gather=rbg, rb_mode=rbm,
                             leaf_pipeline=pipe, packet_rays=prays,
                             slab_batch=sbatch, row_skip=rskip,
-                            defer_uv=duv, mt_point=mtp,
+                            defer_uv=duv, mt_point=mtp, mt_mxu=mtx,
                         )
                     )
 
@@ -592,6 +593,7 @@ class Renderer:
         sbatch = cfg.pallas_slab_batch
         rskip = cfg.pallas_row_skip
         mtp = cfg.pallas_mt_point
+        mtx = cfg.pallas_mt_mxu
 
         def bounce_bind(acc):
             def bounce(o, d, thr, rad, alive, pix, skey, bounce_i):
@@ -600,7 +602,7 @@ class Renderer:
                     num_materials=num_m, seed=seed, russian_roulette=rr,
                     stack_depth=depth, packets_per_step=pps,
                     leaf_pipeline=pipe, slab_batch=sbatch, row_skip=rskip,
-                    mt_point=mtp,
+                    mt_point=mtp, mt_mxu=mtx,
                 )
 
             if cfg.wave_compact_group > 0:
@@ -619,6 +621,7 @@ class Renderer:
                         russian_roulette=rr, stack_depth=depth,
                         packets_per_step=pps, leaf_pipeline=pipe,
                         slab_batch=sbatch, row_skip=rskip, mt_point=mtp,
+                        mt_mxu=mtx,
                     )
 
                 return bounce
