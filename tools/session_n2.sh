@@ -1,0 +1,13 @@
+#!/bin/bash
+# Session N2 (round 4): scene-size ceiling (round-5 lead #3, VERDICT r3
+# missing #2). The compile 500s decoded as scoped-vmem OOMs: (a) at
+# 5.4/6.6MB node tables the compiler placed the ~50MB ANY-space triangle
+# table in VMEM -> now pinned to HBM; (b) leaf32@720p was 2.07M over the
+# DEFAULT 16 MiB scoped limit -> probe raising it (DebugOptions flag,
+# forwarded per-compile). Exps: the three previously-failing shapes with
+# the HBM pin alone, then with the limit at 64 MiB, then 128 MiB burn-in.
+cd /root/repo
+exec bash tools/tpu_session.sh logs/r4_session_n2.log \
+ "BIG_LEAVES=32,16,8 BIG_W=1280 BIG_H=720 BIG_VMEM=8388608 timeout 2400 python -u tools/tpu_bigscene.py" \
+ "BIG_SCOPED_KIB=65536 BIG_LEAVES=32,16,8 BIG_W=1280 BIG_H=720 BIG_VMEM=8388608 timeout 2400 python -u tools/tpu_bigscene.py" \
+ "BIG_SCOPED_KIB=98304 BIG_LEAVES=8 BIG_W=1920 BIG_H=1080 BIG_VMEM=8388608 timeout 2400 python -u tools/tpu_bigscene.py"

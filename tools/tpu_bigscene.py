@@ -40,6 +40,15 @@ def build_big(nsph: int, steps: int, w: int, h: int):
 
 
 def main() -> int:
+    # Scoped-VMEM limit probe (round-4 decode of the compile 500s: they
+    # are scoped-vmem OOMs — default limit 16 MiB, a DebugOptions flag the
+    # remote compile service forwards per-compile). Must land in XLA_FLAGS
+    # before jax initializes.
+    kib = os.environ.get("BIG_SCOPED_KIB", "")
+    if kib:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + f" --xla_tpu_scoped_vmem_limit_kib={kib}")
+
     import jax
     import numpy as np
 

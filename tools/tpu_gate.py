@@ -129,10 +129,10 @@ def main() -> int:
              1, 1, 0, ""),
             # MXU MT transform (one [384,4]@[4,256] dot per ray row):
             # statistical bar — bf16-pass association differs from the
-            # VPU chain. 'high' = error-compensated bf16x3 (candidate);
-            # 'default' = 1-pass bf16 (cheapest, loosest).
-            ("mtmxu-high-rowskip", False, "vlist", 4, False, 4096, True,
-             1, 1, 1, "high"),
+            # VPU chain. Mosaic REJECTS precision=HIGH/bf16x3 (session
+            # M2), so only the 1-pass 'default' is exercised; the knob
+            # itself is rejected-for-perf (8.60 vs 9.27) and kept as a
+            # measured negative.
             ("mtmxu-default-rowskip", False, "vlist", 4, False, 4096,
              True, 1, 1, 1, "default"),
         ]:

@@ -1955,7 +1955,12 @@ def pallas_intersect(
             pl.BlockSpec(tables.node4_meta.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM,
                          pipeline_mode=pl.Buffered(buffer_count=1)),
-            pl.BlockSpec(memory_space=pl.ANY),
+            # Pin to HBM (was pl.ANY): at 3-6.6MB node tables the compiler's
+            # ANY placement put this ~50MB table in VMEM and the
+            # compile 500'd with a scoped-vmem OOM (round-4 logs
+            # r4_session_{z,b2}; decoded in session N2). The kernel
+            # DMAs from it manually — it must NEVER leave HBM.
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec((pps, 7, sub, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -2116,7 +2121,12 @@ def pallas_trace_bounce(
             pl.BlockSpec(tables.node4_meta.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM,
                          pipeline_mode=pl.Buffered(buffer_count=1)),
-            pl.BlockSpec(memory_space=pl.ANY),
+            # Pin to HBM (was pl.ANY): at 3-6.6MB node tables the compiler's
+            # ANY placement put this ~50MB table in VMEM and the
+            # compile 500'd with a scoped-vmem OOM (round-4 logs
+            # r4_session_{z,b2}; decoded in session N2). The kernel
+            # DMAs from it manually — it must NEVER leave HBM.
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec((pps, _ps.STATE_PLANES, 8, 128),
                          lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ],

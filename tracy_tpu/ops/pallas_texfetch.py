@@ -368,7 +368,12 @@ def fetch_texels(pages, page, lanepos, *, interpret: bool = False,
         in_specs=[
             pl.BlockSpec((pps, 2, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            # Pin to HBM (was pl.ANY): at 3-6.6MB node tables the compiler's
+            # ANY placement put this ~50MB table in VMEM and the
+            # compile 500'd with a scoped-vmem OOM (round-4 logs
+            # r4_session_{z,b2}; decoded in session N2). The kernel
+            # DMAs from it manually — it must NEVER leave HBM.
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=pl.BlockSpec((pps, PAGE_ROWS, 8, 128),
                                lambda i: (i, 0, 0, 0),
