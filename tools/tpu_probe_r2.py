@@ -173,6 +173,14 @@ def main() -> int:
         act2 = jnp.asarray(z["act2"])
         print(f"[probe] wave2 rays loaded from {rays_file}", flush=True)
     else:
+        if os.environ.get("TRACY_PALLAS_ABLATE", ""):
+            # MEASUREMENT INTEGRITY: an ablated kernel produces garbage
+            # hits -> garbage scatter -> a dead/incomparable wave saved
+            # as the shared baseline (the round-2 dead-wave artifact).
+            raise RuntimeError(
+                "PROBE_RAYS_FILE missing and TRACY_PALLAS_ABLATE is set: "
+                "generate the wave-2 file with an UNABLATED run first "
+                "(put '' first in ABLATE_LIST)")
         o2, d2, act2 = jax.jit(wave2)(scene, tables, o1, d1, act1)
         o2.block_until_ready()
         if rays_file:

@@ -86,6 +86,23 @@ from tracy_tpu.accel.packet import PackedBVH, PacketAttrs
 _ABLATE = frozenset(
     x for x in os.environ.get("TRACY_PALLAS_ABLATE", "").split(",") if x
 )
+# Every timing-probe token the kernel recognizes. An UNKNOWN token must
+# fail loudly: a silently-ignored one runs the FULL kernel and the probe
+# reports full-kernel numbers under the ablation's name — this exact
+# artifact produced round 2's dead-wave baselines AND round 4's phantom
+# "emptybody machinery floor" (session J2 ran from a snapshot predating
+# the emptybody token; its 480us/packet "emptybody" was the full kernel).
+_ABLATE_KNOWN = frozenset((
+    "countrb", "countvisits", "dma16", "dmaonly2", "emptybody", "mtnotr",
+    "mtnouv", "mtnowin", "mtnoxy", "noappend", "nobody2", "nodma",
+    "nodma2", "nofastpath", "nogather2", "noinit", "noleaf", "nomt",
+    "noout", "noput2", "noreadback", "noresolve2", "notrav",
+))
+if not _ABLATE <= _ABLATE_KNOWN:
+    raise ValueError(
+        f"unknown TRACY_PALLAS_ABLATE tokens {sorted(_ABLATE - _ABLATE_KNOWN)}"
+        " — a silently-ignored token would report full-kernel numbers"
+        f" under the ablation's name (known: {sorted(_ABLATE_KNOWN)})")
 
 LEAF = 128  # static leaf window; every leaf owns an ALIGNED 128-slot chunk
 # (Mosaic vector loads from the lane dimension must be 128-aligned)
