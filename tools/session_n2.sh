@@ -12,4 +12,6 @@ exec bash tools/tpu_session.sh logs/r4_session_n2.log \
  "BIG_SCOPED_KIB=65536 BIG_LEAVES=32,16,8 BIG_W=1280 BIG_H=720 BIG_VMEM=8388608 timeout 2400 python -u tools/tpu_bigscene.py" \
  "BIG_SCOPED_KIB=98304 BIG_LEAVES=8 BIG_W=1920 BIG_H=1080 BIG_VMEM=8388608 timeout 2400 python -u tools/tpu_bigscene.py" \
  "PROBE_LEAF=128 PROBE_PPS=2 PROBE_SKIP_C=1 PROBE_SKIP_D=1 PROBE_RBM=vlist PROBE_BVHW=4 PROBE_SLABB=1 PROBE_RSKIP=1 PROBE_DUV=1 PROBE_MTPOINT=1 PROBE_RAYS_FILE=/tmp/tracy_probe_wave2.npz PROBE_PRAYS=4096 ABLATE_LIST='|emptybody|notrav' timeout 1800 python -u tools/tpu_ablate.py" \
- "PROBE_LEAF=128 PROBE_PPS=2 PROBE_SKIP_C=1 PROBE_SKIP_D=1 PROBE_RBM=vlist PROBE_BVHW=4 PROBE_SLABB=1 PROBE_RSKIP=1 PROBE_DUV=1 PROBE_MTPOINT=1 PROBE_RAYS_FILE=/tmp/tracy_probe_wave2.npz PROBE_PRAYS=1024 ABLATE_LIST='|emptybody|notrav' timeout 1800 python -u tools/tpu_ablate.py"
+ "PROBE_LEAF=128 PROBE_PPS=2 PROBE_SKIP_C=1 PROBE_SKIP_D=1 PROBE_RBM=vlist PROBE_BVHW=4 PROBE_SLABB=1 PROBE_RSKIP=1 PROBE_DUV=1 PROBE_MTPOINT=1 PROBE_RAYS_FILE=/tmp/tracy_probe_wave2.npz PROBE_PRAYS=1024 ABLATE_LIST='|emptybody|notrav' timeout 1800 python -u tools/tpu_ablate.py" \
+ "CV_PRAYS=4096 PROBE_RAYS_FILE=/tmp/tracy_probe_wave2.npz timeout 1800 python -u tools/tpu_countvisits.py" \
+ "CV_PRAYS=1024 PROBE_RAYS_FILE=/tmp/tracy_probe_wave2.npz timeout 1800 python -u tools/tpu_countvisits.py"

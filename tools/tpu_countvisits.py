@@ -70,19 +70,22 @@ def main() -> int:
         x = jnp.swapaxes(x, 1, 2)
         return x.reshape((h * w,) + extra)
 
-    # Per-packet sampling stride = the packet size actually used below
-    # (pallas_intersect default). Derived, not hardcoded, so a future
-    # packet_rays knob can't silently sample mid-packet values (ADVICE r3).
-    from tracy_tpu.ops.pallas_packet import PACKET as PACKET_RAYS
+    # Per-packet sampling stride = the packet size actually used below.
+    # Derived, not hardcoded, so the packet_rays knob can't silently
+    # sample mid-packet values (ADVICE r3). CV_PRAYS probes the
+    # production width (default 4096); CV_RSKIP=0 turns off row_skip to
+    # compare total-rows vs live-rows.
+    PACKET_RAYS = int(os.environ.get("CV_PRAYS", 4096))
+    RSKIP = os.environ.get("CV_RSKIP", "1") == "1"
 
     def counts(label, o, d, act):
-        # countvisits: kernel writes leaf visits into the t plane and inner
-        # visits into the u plane (one constant per packet).
+        # countvisits: kernel writes leaf visits into the t plane, inner
+        # visits into the u plane, live MT rows into the v plane.
         interp = jax.default_backend() == "cpu"
         hit, _ = jax.jit(
             lambda oo, dd, aa: pallas_intersect(
                 oo, dd, aa, tables, rb_mode="minloop", interpret=interp,
-                packet_rays=PACKET_RAYS)
+                packet_rays=PACKET_RAYS, slab_batch=True, row_skip=RSKIP)
         )(o, d, act)
         # countvisits overwrites the t plane with the LEAF count and the u
         # plane with the INNER count (one constant per packet). Hit remaps
@@ -90,6 +93,7 @@ def main() -> int:
         leaf_v = np.asarray(hit.t)[::PACKET_RAYS]
         leaf_v = np.where(leaf_v > 1e9, 0.0, leaf_v)
         inner_v = np.asarray(hit.uv[:, 0])[::PACKET_RAYS]
+        rows_v = np.asarray(hit.uv[:, 1])[::PACKET_RAYS]
         # Fully-dead packets take the fast path (0 visits by construction);
         # report them separately so they don't dilute the per-visit means.
         pad = (-len(np.asarray(act))) % PACKET_RAYS
@@ -97,12 +101,17 @@ def main() -> int:
         live_pkt = act_p.reshape(-1, PACKET_RAYS).any(axis=1)
         dead = int((~live_pkt).sum())
         inner_l, leaf_l = inner_v[live_pkt], leaf_v[live_pkt]
+        rows_l = rows_v[live_pkt]
+        rpv = float(rows_l.sum() / max(leaf_l.sum(), 1.0))
         print(f"[cv] {label}: packets={len(inner_v)} (dead={dead}, "
               f"excluded) inner/packet mean={inner_l.mean():.0f} "
               f"p50={np.percentile(inner_l, 50):.0f} "
               f"max={inner_l.max():.0f} | leaf/packet "
               f"mean={leaf_l.mean():.0f} p50={np.percentile(leaf_l, 50):.0f} "
-              f"max={leaf_l.max():.0f}", flush=True)
+              f"max={leaf_l.max():.0f} | MT rows/packet "
+              f"mean={rows_l.mean():.0f} rows/leaf-visit={rpv:.2f} "
+              f"(of {PACKET_RAYS // 128} rows, row_skip={int(RSKIP)})",
+              flush=True)
 
     o1, d1 = tile_fold(o_i), tile_fold(d_i)
     act1 = jnp.ones((h * w,), bool)

@@ -650,6 +650,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
     if "countvisits" in _ABLATE:
         rbl_ref[2] = 0  # leaf visits (probe; minloop only — list/arena
         rbl_ref[3] = 0  # inner visits  use these slots as entries)
+        rbl_ref[4] = 0  # live MT rows actually run (row_skip popcounts)
 
     # Slim while-loop carry: (sp, best_t) ONLY. Traversal records just the
     # per-ray WINNER (chunk base + in-chunk slot) in VMEM scratch planes;
@@ -1183,6 +1184,22 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
             return bt
         if "countvisits" in _ABLATE:
             rbl_ref[2] = rbl_ref[2] + 1
+            # Live MT rows this visit: popcount of the pushed row mask
+            # (SWAR on the int32 scalar; logical shifts — bit 31 is live
+            # at sub=32). Without row_skip every visit runs all rows.
+            if row_skip and rowmask is not None:
+                def popc(x):
+                    sr = jax.lax.shift_right_logical
+                    x = x - (sr(x, 1) & 0x55555555)
+                    x = (x & 0x33333333) + (sr(x, 2) & 0x33333333)
+                    x = (x + sr(x, 4)) & 0x0F0F0F0F
+                    return sr(x * 0x01010101, 24) & 0x3F
+
+                lo, hi = rowmask
+                nrows = popc(lo) + (popc(hi) if hi is not None else 0)
+            else:
+                nrows = sub
+            rbl_ref[4] = rbl_ref[4] + nrows
         first = m_first
 
         # The leaf's CHUNK is 128-aligned by construction (build_tables
@@ -1822,6 +1839,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
         one = jnp.full((sub, 128), 1.0)
         out_ref[pkt, 0] = one * rbl_ref[2].astype(jnp.float32)
         out_ref[pkt, 1] = one * rbl_ref[3].astype(jnp.float32)
+        out_ref[pkt, 2] = one * rbl_ref[4].astype(jnp.float32)
 
 
 def _num_out_attrs(has_uv: bool, with_tangent: bool) -> int:
