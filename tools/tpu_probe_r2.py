@@ -109,7 +109,9 @@ def main() -> int:
                                            rb_gather=RBG, rb_mode=RBM,
                                            packet_rays=PRAYS,
                                            slab_batch=SLABB, row_skip=RSKIP,
-                                           defer_uv=DUV, mt_point=MTP)
+                                           defer_uv=DUV, mt_point=MTP,
+                                           stub=os.environ.get(
+                                               "PROBE_STUB", "0") == "1")
                 return s + jnp.sum(hit.t
                                    * 0.0) + jnp.sum(jnp.where(hit.mask, 1.0, 0.0)), hit.t[0]
             return jax.lax.fori_loop(0, reps, body, (jnp.float32(0), jnp.float32(0)))

@@ -1855,7 +1855,7 @@ def pallas_intersect(
     rb_mode: str = "minloop", leaf_pipeline: bool = False,
     packet_rays: int = PACKET, slab_batch: bool = False,
     row_skip: bool = False, defer_uv: bool = False,
-    mt_point: bool = False, mt_mxu: str = "",
+    mt_point: bool = False, mt_mxu: str = "", stub: bool = False,
 ):
     """Full wavefront intersection via the Pallas kernel.
 
@@ -1970,7 +1970,15 @@ def pallas_intersect(
     if leaf_pipeline:
         w_rows *= 2  # double-buffered pending/current leaf chunks
 
-    out = pl.pallas_call(
+    if stub:
+        # Timing probe (results wrong): skip the pallas_call entirely but
+        # keep every XLA-side packing/unpacking op. The emptybody ablation
+        # minus this isolates the TRUE grid/block-pipeline machinery from
+        # the per-wave XLA layout glue the probe's ms/wave conflates.
+        out = (jnp.zeros((k, out_planes, sub, 128), jnp.float32)
+               + rays[:, :1, :, :] * 0.0)
+    else:
+        out = pl.pallas_call(
         kernel_wrap,
         out_shape=jax.ShapeDtypeStruct((k, out_planes, sub, 128),
                                         jnp.float32),

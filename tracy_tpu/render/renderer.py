@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -264,9 +265,22 @@ class Renderer:
         if intersector_factory is not None:
             # Back-compat: factory(scene) -> IntersectFn (closure-based).
             self._bind = lambda sc, acc: intersector_factory(sc)
-        self._jit_step = jax.jit(self._step_impl, donate_argnums=(1,))
+        # Scoped-VMEM limit override (TPU only). XLA reserves 16 MiB of
+        # the chip's 128 MiB VMEM for "scoped" (stack) allocations by
+        # default; big node tables blow it at some frame shapes and the
+        # remote compile 500s (round 4, logs/r4_session_{z,b2,n2}). The
+        # XLA_FLAGS route is a client-side FATAL (the CPU jaxlib parser
+        # doesn't know TPU flags), but per-jit compiler_options forward
+        # to the compile service as DebugOptions.
+        copts = None
+        kib = int(os.environ.get("TRACY_SCOPED_VMEM_KIB", "0") or 0)
+        if kib and jax.default_backend() not in ("cpu",):
+            copts = {"xla_tpu_scoped_vmem_limit_kib": kib}
+        self._jit_step = jax.jit(self._step_impl, donate_argnums=(1,),
+                                 compiler_options=copts)
         self._jit_steps = jax.jit(self._steps_impl, donate_argnums=(1,),
-                                  static_argnums=(4,))
+                                  static_argnums=(4,),
+                                  compiler_options=copts)
         self.timer = Timer()
         self.total_rays = 0.0
 
