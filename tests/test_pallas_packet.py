@@ -704,6 +704,47 @@ def test_pallas_mt_mxu(prec):
     assert (mat0 == matx).mean() > 0.999
 
 
+@pytest.mark.parametrize("prays,pps", [(1024, 2), (2048, 1)])
+def test_pallas_block_skip(prays, pps):
+    """Dead-step block skip must be bit-identical to off: dead steps'
+    outputs come from the XLA-side substitution of the SAME miss
+    constants the in-kernel fast path writes; live steps are untouched.
+    Covers leading-dead (routed to step 0's no-op body), mid-dead and
+    all-dead waves."""
+    b = default_scene(32, 24)
+    scene = b.build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    i0 = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                 interpret=True, rb_mode="vlist", width=4,
+                                 slab_batch=True, row_skip=True,
+                                 defer_uv=True)
+    o, d = _rays_for(scene, 8192, seed=9)
+    act = np.ones(8192, bool)
+    act[:2 * prays * pps] = False      # leading dead steps
+    act[4 * prays:5 * prays] = False   # dead packet inside/at a step
+    act = jnp.asarray(act)
+
+    from tracy_tpu.ops.pallas_packet import pallas_intersect
+    tb = i0.tables
+    kw = dict(interpret=True, rb_mode="vlist", slab_batch=True,
+              row_skip=True, defer_uv=True, packet_rays=prays,
+              packets_per_step=pps)
+    h0, a0 = pallas_intersect(o, d, act, tb, **kw)
+    h1, a1 = pallas_intersect(o, d, act, tb, block_skip=True, **kw)
+    np.testing.assert_array_equal(np.asarray(h0.mask), np.asarray(h1.mask))
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h1.t))
+    m = np.asarray(h0.mask)
+    np.testing.assert_array_equal(np.asarray(h0.uv)[m], np.asarray(h1.uv)[m])
+    np.testing.assert_array_equal(np.asarray(a0.normal)[m],
+                                  np.asarray(a1.normal)[m])
+    np.testing.assert_array_equal(np.asarray(a0.uv)[m], np.asarray(a1.uv)[m])
+    np.testing.assert_array_equal(np.asarray(a0.material)[m],
+                                  np.asarray(a1.material)[m])
+    hz, _ = pallas_intersect(o, d, jnp.zeros(8192, bool), tb,
+                             block_skip=True, **kw)
+    assert not np.asarray(hz.mask).any()
+
+
 def test_pallas_row_skip_defer_uv_combined():
     """Both levers together (the production candidate config)."""
     b = default_scene(32, 24)

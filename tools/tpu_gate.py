@@ -96,7 +96,7 @@ def main() -> int:
     # is statistical (~0.2% t quantization), so the agreement bar is lower.
     if os.environ.get("TRACY_GATE_EXTRA", "1") == "1":
         for (label, pack, rbmode, width, pipe, prays, sbat, rskip,
-             duv, mtp, mtx) in [
+             duv, mtp, mtx, *_xrest) in [
             ("woopbf16-fused", True, "fused", 2, False, 1024, False, 0, 0, 0, ""),
             ("woopbf16-vlist", True, "vlist", 2, False, 1024, False, 0, 0, 0, ""),
             ("4wide-fused", False, "fused", 4, False, 1024, False, 0, 0, 0, ""),
@@ -135,20 +135,29 @@ def main() -> int:
             # measured negative.
             ("mtmxu-default-rowskip", False, "vlist", 4, False, 4096,
              True, 1, 1, 1, "default"),
+            # Dead-step block skip (prefetched step map routes dead grid
+            # steps' blocks to the previous live step's): EXACT — the
+            # XLA side substitutes the same miss constants the in-kernel
+            # fast path writes. The gate wave has dead lanes via act.
+            ("blockskip-rowskip", False, "vlist", 4, False, 1024, True,
+             1, 1, 0, "", {"block_skip": True}),
+            ("blockskip-prays4096", False, "vlist", 4, False, 4096, True,
+             1, 1, 0, "", {"block_skip": True}),
         ]:
             t0 = time.perf_counter()
             try:
+                xkw = _xrest[0] if _xrest else {}
                 tb = build_tables(scene, bvh, with_tangent=False,
                                   pack_woop=pack, width=width)
                 hv, _av = jax.jit(
                     lambda oo, dd, aa, _tb=tb, _rb=rbmode, _pi=pipe,
                     _pr=prays, _sb=sbat, _rs=rskip, _du=duv, _mp=mtp,
-                    _mx=mtx:
+                    _mx=mtx, _xk=xkw:
                     pallas_intersect(
                         oo, dd, aa, _tb, interpret=interp, rb_mode=_rb,
                         leaf_pipeline=_pi, packet_rays=_pr, slab_batch=_sb,
                         row_skip=bool(_rs), defer_uv=bool(_du),
-                        mt_point=bool(_mp), mt_mxu=_mx)
+                        mt_point=bool(_mp), mt_mxu=_mx, **_xk)
                 )(o, d, act)
                 hv.t.block_until_ready()
                 mv = np.asarray(hv.mask)

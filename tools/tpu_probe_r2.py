@@ -66,7 +66,13 @@ def main() -> int:
                    data_root="/root/reference")
     b.width, b.height = w, h
     scene = b.build()
-    cfg = RenderConfig(width=w, height=h, spp=1, accel="packet")
+    cfg = RenderConfig(width=w, height=h, spp=1, accel="packet",
+                       pallas_rb_mode=RBM, pallas_packet_rays=PRAYS,
+                       pallas_slab_batch=SLABB, pallas_row_skip=RSKIP,
+                       pallas_defer_uv=DUV, pallas_mt_point=MTP,
+                       pallas_bvh_width=BVHW,
+                       wave_compact_group=int(os.environ.get(
+                           "PROBE_FRAME_COMPACT", "0")))
     # Textured scenes need tangents/uv in the tables for the shade stage.
     wt = bool(np.asarray(scene.materials.tex_index).max() >= 0)
     bvh, _ = build_packet_bvh(scene, leaf_size=LEAF, cost_mode=COST)
@@ -137,8 +143,11 @@ def main() -> int:
 
     if SKIP_AB:
         # D-only run (frame timings): skip wave-2 build + sections B/C.
-        if os.environ.get("PROBE_D0", "0") == "1":
+        d0 = os.environ.get("PROBE_D0", "0")
+        if d0 != "0":
             run_stub_frame(scene, cfg)
+        if d0 == "pack":
+            run_stub_frame(scene, cfg, tables=tables)
         run_frames(scene, cfg, Renderer, init_state)
         print("[probe] DONE", flush=True)
         return 0
@@ -211,10 +220,13 @@ def main() -> int:
     return 0
 
 
-def run_stub_frame(scene, cfg):
+def run_stub_frame(scene, cfg, tables=None):
     """Section D0: full render_step frames with a stub intersector — the
     XLA-side cost of everything EXCEPT intersection/shade-kernel (raygen,
-    XLA shading incl. any texture gathers, routing, accumulation)."""
+    XLA shading incl. any texture gathers, routing, accumulation).
+    With tables (PROBE_D0=pack): the stub keeps pallas_intersect's FULL
+    packing/unpacking glue (stub=True skips only the pallas_call) — the
+    delta vs the plain stub is the REAL fused per-frame glue cost."""
     import time
 
     import jax
@@ -224,17 +236,29 @@ def run_stub_frame(scene, cfg):
     from tracy_tpu.render.intersect import FLT_MAX, Hit
     from tracy_tpu.render.renderer import render_step, init_state as _init
 
-    print("[probe] === D0: frame minus intersection (stub intersector) ===",
+    mode = "pack-stub" if tables is not None else "no-pack stub"
+    print(f"[probe] === D0: frame minus intersection ({mode}) ===",
           flush=True)
 
-    def stub_isect(o, d, act):
-        n = o.shape[0]
-        hit = Hit(t=jnp.full((n,), FLT_MAX), tri=jnp.zeros((n,), jnp.int32),
-                  uv=jnp.zeros((n, 2)), mask=jnp.zeros((n,), bool))
-        at = PacketAttrs(normal=jnp.zeros((n, 3)), tangent=jnp.zeros((n, 3)),
-                         uv=jnp.zeros((n, 2)),
-                         material=jnp.zeros((n,), jnp.int32))
-        return hit, at
+    if tables is not None:
+        from tracy_tpu.ops.pallas_packet import pallas_intersect
+
+        def stub_isect(o, d, act):
+            return pallas_intersect(
+                o, d, act, tables, rb_mode=RBM, packet_rays=PRAYS,
+                slab_batch=SLABB, row_skip=RSKIP, defer_uv=DUV,
+                mt_point=MTP, stub=True)
+    else:
+        def stub_isect(o, d, act):
+            n = o.shape[0]
+            hit = Hit(t=jnp.full((n,), FLT_MAX),
+                      tri=jnp.zeros((n,), jnp.int32),
+                      uv=jnp.zeros((n, 2)), mask=jnp.zeros((n,), bool))
+            at = PacketAttrs(normal=jnp.zeros((n, 3)),
+                             tangent=jnp.zeros((n, 3)),
+                             uv=jnp.zeros((n, 2)),
+                             material=jnp.zeros((n,), jnp.int32))
+            return hit, at
 
     def frame_prog(sc, st):
         # scene rides as a jit ARGUMENT: closure-captured device arrays

@@ -211,6 +211,16 @@ class RenderConfig:
     # metrics are unchanged to 4 decimals on every scene checked).
     pallas_mt_point: bool = True
 
+    # Dead-step BLOCK SKIP: late compacted waves are mostly all-dead
+    # packets, and even the in-kernel dead-packet fast path pays the full
+    # block-pipeline machinery (in/out block DMAs + grid step). With
+    # block_skip a prefetched step map routes every dead grid step's
+    # in/out block indices to the previous live step's — the pipeline
+    # re-fetches nothing, the body is guarded off, and the XLA side
+    # substitutes the exact miss constants the fast path would have
+    # written. Bit-identical to off (tested); speed-only.
+    pallas_block_skip: bool = False
+
     # MXU Möller–Trumbore transform: evaluate the whole per-row Woop
     # transform (o'u/d'u/o'v/d'v/o'z/d'z) as ONE [3*128,4] @ [4,256]
     # contraction on the systolic array instead of ~26 serial VPU plane

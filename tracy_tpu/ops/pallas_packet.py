@@ -1856,6 +1856,7 @@ def pallas_intersect(
     packet_rays: int = PACKET, slab_batch: bool = False,
     row_skip: bool = False, defer_uv: bool = False,
     mt_point: bool = False, mt_mxu: str = "", stub: bool = False,
+    block_skip: bool = False,
 ):
     """Full wavefront intersection via the Pallas kernel.
 
@@ -1961,6 +1962,22 @@ def pallas_intersect(
         kernel(nb, nm, n4b, n4m, tab, rays_blk, out_blk,
                stack, rmask, w_s, a_s, a_s2, acc, rbl, sems)
 
+    def kernel_wrap_bs(m_ref, nb, nm, n4b, n4m, tab, rays_blk, out_blk,
+                       stack, rmask, w_s, a_s, a_s2, acc, rbl, sems):
+        # BLOCK SKIP: a dead grid step's in/out block indices are routed
+        # (via the prefetched step map m) to the PREVIOUS live step's, so
+        # the pipeline re-fetches nothing and flushes the same out block;
+        # the body must then not run (it would recompute — and its writes
+        # would CORRUPT that live step's outputs). m[i] == i iff step i is
+        # live (or the leading-dead fallback step 0, whose body is a
+        # correct no-op through the in-kernel dead-packet fast path).
+        i = pl.program_id(0)
+
+        @pl.when(m_ref[i] == i)
+        def _():
+            kernel(nb, nm, n4b, n4m, tab, rays_blk, out_blk,
+                   stack, rmask, w_s, a_s, a_s2, acc, rbl, sems)
+
     attr_rows = tables.tab.shape[0] - tables.woop_rows
     # 'fused'/'mt' DMA the whole fused-table chunk into w_s (one copy, one
     # wait per leaf visit); the phase-2 modes copy only the woop rows and
@@ -1970,6 +1987,81 @@ def pallas_intersect(
     if leaf_pipeline:
         w_rows *= 2  # double-buffered pending/current leaf chunks
 
+    # Index maps take (step [, scalar-prefetch map ref]) depending on
+    # block_skip; the tables are grid-invariant either way.
+    if block_skip:
+        def im_tab(i, mr):
+            return (0, 0)
+
+        def im_rays(i, mr):
+            return (mr[i], 0, 0, 0)
+        im_out = im_rays
+    else:
+        def im_tab(i):
+            return (0, 0)
+
+        def im_rays(i):
+            return (i, 0, 0, 0)
+        im_out = im_rays
+
+    in_specs = [
+        # Tables are grid-invariant: single-buffered (the default
+        # pipeline double-buffering would hold them twice in VMEM).
+        pl.BlockSpec(tables.node_bounds.shape, im_tab,
+                     memory_space=pltpu.VMEM,
+                     pipeline_mode=pl.Buffered(buffer_count=1)),
+        pl.BlockSpec(tables.node_meta.shape, im_tab,
+                     memory_space=pltpu.VMEM,
+                     pipeline_mode=pl.Buffered(buffer_count=1)),
+        pl.BlockSpec(tables.node4_bounds.shape, im_tab,
+                     memory_space=pltpu.VMEM,
+                     pipeline_mode=pl.Buffered(buffer_count=1)),
+        pl.BlockSpec(tables.node4_meta.shape, im_tab,
+                     memory_space=pltpu.VMEM,
+                     pipeline_mode=pl.Buffered(buffer_count=1)),
+        # Pin to HBM (was pl.ANY): at 3-6.6MB node tables the compiler's
+        # ANY placement put this ~50MB table in VMEM and the
+        # compile 500'd with a scoped-vmem OOM (round-4 logs
+        # r4_session_{z,b2}; decoded in session N2). The kernel
+        # DMAs from it manually — it must NEVER leave HBM.
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        pl.BlockSpec((pps, 7, sub, 128), im_rays,
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((pps, out_planes, sub, 128), im_out,
+                            memory_space=pltpu.VMEM)
+    scratch_shapes = [
+        pltpu.SMEM((stack_depth,), jnp.int32),
+        # Row masks: one i32 word per entry, TWO when sub > 32 (word
+        # 1 lives at [stack_depth + idx]).
+        pltpu.SMEM(((stack_depth * (2 if sub > 32 else 1))
+                    if row_skip else 1,), jnp.int32),
+        pltpu.VMEM((w_rows, LEAF), jnp.float32),
+        # defer_uv: phase-2 chunk DMAs carry the WHOLE fused table
+        # (woop rows included — u/v recompute gathers coefficients).
+        pltpu.VMEM((tables.tab.shape[0] if defer_uv else attr_rows,
+                    (ARENA_BATCH if rb_mode in ("arena", "vlist")
+                     else rb_window)
+                    * LEAF), jnp.float32),
+        pltpu.VMEM((attr_rows, rb_window * LEAF), jnp.float32),
+        pltpu.VMEM((4 + na + (1 if rb_mode == "arena" else 0), sub,
+                    128), jnp.float32),
+        pltpu.SMEM((LIST_CAP + 2,), jnp.int32),
+        pltpu.SemaphoreType.DMA((3,)),
+    ]
+
+    step_live = None
+    if block_skip:
+        # Per-STEP liveness (pps packets/step) -> the routed step map:
+        # m = clamped running max of (live ? i : -1). Dead steps repeat
+        # the previous live step's index; leading-dead route to step 0
+        # (whose body runs as a correct no-op via the dead-packet fast
+        # path).
+        step_live = active.reshape(ksteps, pps * packet_rays).any(axis=1)
+        iota = jnp.arange(ksteps, dtype=jnp.int32)
+        m = jax.lax.cummax(jnp.where(step_live, iota, -1))
+        m = jnp.maximum(m, 0)
+
     if stub:
         # Timing probe (results wrong): skip the pallas_call entirely but
         # keep every XLA-side packing/unpacking op. The emptybody ablation
@@ -1977,61 +2069,43 @@ def pallas_intersect(
         # the per-wave XLA layout glue the probe's ms/wave conflates.
         out = (jnp.zeros((k, out_planes, sub, 128), jnp.float32)
                + rays[:, :1, :, :] * 0.0)
+    elif block_skip:
+        out = pl.pallas_call(
+            kernel_wrap_bs,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(ksteps,),
+                in_specs=in_specs,
+                out_specs=out_spec,
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=jax.ShapeDtypeStruct((k, out_planes, sub, 128),
+                                           jnp.float32),
+            interpret=interpret,
+        )(m, tables.node_bounds, tables.node_meta, tables.node4_bounds,
+          tables.node4_meta, tables.tab, rays)
+        # Dead steps' out rows were never written (their blocks routed
+        # away): substitute the EXACT miss constants the in-kernel dead-
+        # packet fast path writes -> bit-identical to block_skip=False.
+        cvec = jnp.concatenate([
+            jnp.full((1,), -BIG, jnp.float32),
+            jnp.zeros((2 + na,), jnp.float32),
+            jnp.full((1,), -1.0, jnp.float32),
+        ])
+        livep = jnp.repeat(step_live, pps)[:, None, None, None]
+        out = jnp.where(livep, out, cvec[None, :, None, None])
     else:
         out = pl.pallas_call(
-        kernel_wrap,
-        out_shape=jax.ShapeDtypeStruct((k, out_planes, sub, 128),
-                                        jnp.float32),
-        grid=(ksteps,),
-        in_specs=[
-            # Tables are grid-invariant: single-buffered (the default
-            # pipeline double-buffering would hold them twice in VMEM).
-            pl.BlockSpec(tables.node_bounds.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM,
-                         pipeline_mode=pl.Buffered(buffer_count=1)),
-            pl.BlockSpec(tables.node_meta.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM,
-                         pipeline_mode=pl.Buffered(buffer_count=1)),
-            pl.BlockSpec(tables.node4_bounds.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM,
-                         pipeline_mode=pl.Buffered(buffer_count=1)),
-            pl.BlockSpec(tables.node4_meta.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM,
-                         pipeline_mode=pl.Buffered(buffer_count=1)),
-            # Pin to HBM (was pl.ANY): at 3-6.6MB node tables the compiler's
-            # ANY placement put this ~50MB table in VMEM and the
-            # compile 500'd with a scoped-vmem OOM (round-4 logs
-            # r4_session_{z,b2}; decoded in session N2). The kernel
-            # DMAs from it manually — it must NEVER leave HBM.
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((pps, 7, sub, 128), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((pps, out_planes, sub, 128),
-                               lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.SMEM((stack_depth,), jnp.int32),
-            # Row masks: one i32 word per entry, TWO when sub > 32 (word
-            # 1 lives at [stack_depth + idx]).
-            pltpu.SMEM(((stack_depth * (2 if sub > 32 else 1))
-                        if row_skip else 1,), jnp.int32),
-            pltpu.VMEM((w_rows, LEAF), jnp.float32),
-            # defer_uv: phase-2 chunk DMAs carry the WHOLE fused table
-            # (woop rows included — u/v recompute gathers coefficients).
-            pltpu.VMEM((tables.tab.shape[0] if defer_uv else attr_rows,
-                        (ARENA_BATCH if rb_mode in ("arena", "vlist")
-                         else rb_window)
-                        * LEAF), jnp.float32),
-            pltpu.VMEM((attr_rows, rb_window * LEAF), jnp.float32),
-            pltpu.VMEM((4 + na + (1 if rb_mode == "arena" else 0), sub,
-                        128), jnp.float32),
-            pltpu.SMEM((LIST_CAP + 2,), jnp.int32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
-        interpret=interpret,
-    )(tables.node_bounds, tables.node_meta, tables.node4_bounds,
-      tables.node4_meta, tables.tab, rays)
+            kernel_wrap,
+            out_shape=jax.ShapeDtypeStruct((k, out_planes, sub, 128),
+                                           jnp.float32),
+            grid=(ksteps,),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(tables.node_bounds, tables.node_meta, tables.node4_bounds,
+          tables.node4_meta, tables.tab, rays)
 
     def flat(p):
         return out[:, p].reshape(npad)[:n]

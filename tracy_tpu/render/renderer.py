@@ -411,6 +411,7 @@ class Renderer:
                 duv = (self.cfg.pallas_defer_uv and rbm == "vlist")
                 mtp = self.cfg.pallas_mt_point
                 mtx = self.cfg.pallas_mt_mxu
+                bskip = self.cfg.pallas_block_skip
                 self._accel_data = tables
 
                 def bind(sc, acc):
@@ -422,6 +423,7 @@ class Renderer:
                             leaf_pipeline=pipe, packet_rays=prays,
                             slab_batch=sbatch, row_skip=rskip,
                             defer_uv=duv, mt_point=mtp, mt_mxu=mtx,
+                            block_skip=bskip,
                         )
                     )
 
