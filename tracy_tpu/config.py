@@ -190,15 +190,16 @@ class RenderConfig:
 
     # VMEM budget for the Pallas kernel's RESIDENT BVH node tables (the
     # per-triangle tables stream from HBM). ~2.6 B/triangle at the default
-    # chunk-SAH leaf width incl. the 4-wide tables, so 2.5 MB holds ~1M
+    # chunk-SAH leaf width incl. the 4-wide tables, so 6 MB holds ~2.4M
     # triangles (a 520K-tri scene measures 0.7 MB); scenes past the budget
     # fall back to the XLA packet path with a loud RuntimeWarning
-    # (~10-30x slower). The conservative default reflects MEASURED
-    # remote-compile behavior (round 4, logs/r4_session_{z,b2}.log):
-    # 5.4 MB node tables compiled at small frame shapes but >=3 MB
-    # intermittently 500'd the compile service at 720p; 6.6 MB always
-    # failed. Raise at your own risk for huge scenes.
-    pallas_vmem_budget: int = int(2.5 * 1024 * 1024)
+    # (~10-30x slower). Round 4 originally capped this at 2.5 MB because
+    # >=3 MB tables 500'd the remote compile service; those 500s decoded
+    # as scoped-vmem OOMs (XLA's DEFAULT scoped budget is 16 MiB of the
+    # 128 MiB VMEM) and the renderer now auto-raises the limit to 96 MiB
+    # for big tables (validated on chip: 5.4 MB tables render at
+    # 720p/1080p, sessions P2/Q2).
+    pallas_vmem_budget: int = 6 * 1024 * 1024
 
     # Point-form Möller–Trumbore: compute the hit point p = o + t d once
     # per (tri, ray) and evaluate u/v as single R-row contractions of p —

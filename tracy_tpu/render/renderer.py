@@ -370,6 +370,23 @@ class Renderer:
                 budget = self.cfg.pallas_vmem_budget
                 if cand.vmem_bytes <= budget:  # node tables (VMEM)
                     tables = cand
+                    if cand.vmem_bytes > 2 * 1024 * 1024 and not int(
+                            os.environ.get("TRACY_SCOPED_VMEM_KIB", "0")
+                            or 0):
+                        # Big node tables blow XLA's DEFAULT 16 MiB
+                        # scoped-vmem budget at some frame shapes (the
+                        # round-4 compile 500s). Auto-raise it for this
+                        # renderer's programs: 96 MiB validated on chip
+                        # for 5.4 MB tables at 720p/1080p (session Q2);
+                        # v5e VMEM is 128 MiB. Env TRACY_SCOPED_VMEM_KIB
+                        # overrides (set at __init__).
+                        copts = {"xla_tpu_scoped_vmem_limit_kib": 98304}
+                        self._jit_step = jax.jit(
+                            self._step_impl, donate_argnums=(1,),
+                            compiler_options=copts)
+                        self._jit_steps = jax.jit(
+                            self._steps_impl, donate_argnums=(1,),
+                            static_argnums=(4,), compiler_options=copts)
                 else:
                     import warnings
 
