@@ -102,7 +102,8 @@ def main() -> int:
 
         # Parity vs the XLA packet path at 320x240, 2 frames.
         small = RenderConfig(width=320, height=240, spp=1, accel="packet",
-                             wave_compact_group=0, pallas_leaf_size=leaf)
+                             wave_compact_group=0, pallas_leaf_size=leaf,
+                             pallas_vmem_budget=cfg.pallas_vmem_budget)
         sscene = build_big(nsph, steps, 320, 240)
         imgs = {}
         for label, up in (("pallas", True), ("xla", False)):
