@@ -154,6 +154,7 @@ def main():
 
     import numpy as np
 
+    from tracy_tpu.accel.reorder import pick_compact_group
     from tracy_tpu.config import RenderConfig
     from tracy_tpu.render.renderer import Renderer, init_state
     from tracy_tpu.scene.scn_parser import load_scene
@@ -185,12 +186,16 @@ def main():
         accel="packet" if not on_cpu else "bvh",
         ray_chunk=ray_chunk,
         pallas_packets_per_step=int(os.environ.get("TRACY_BENCH_PPS", 2)),
-        # Per-wave live-ray compaction (accel/reorder.py). Deep compaction
-        # measured best with the fused readback + dead-packet fast path
-        # (sessions M-O, logs/): 1080p sweep 16384/65536/262144/2097152 =
-        # 2.07/2.22/2.25/2.07 MRays/s.
-        wave_compact_group=int(os.environ.get(
-            "TRACY_BENCH_COMPACT", 0 if on_cpu else 262144)),
+        # Per-wave live-ray compaction (accel/reorder.py). Scene-regime
+        # dependent (session V2): traversal-heavy scenes want deep groups
+        # (dragon 1080p sweep 131072/262144/524288/1M =
+        # 9.16/9.27/9.18/8.81), traversal-light scenes want NONE (helmet
+        # 21.8 with 262144 -> 38.7 with 0). Default: the tri-count auto
+        # heuristic (pick_compact_group); env overrides with a number.
+        wave_compact_group=(lambda s: int(s) if s else (
+            0 if on_cpu else pick_compact_group(
+                width * height, num_tris=b.num_triangles)))(
+            os.environ.get("TRACY_BENCH_COMPACT", "")),
         # Bounce-0 compaction peel (bit-identical; saves 2 routings/sample).
         wave_compact_skip_first=os.environ.get(
             "TRACY_BENCH_SKIP1", "1") == "1",

@@ -42,10 +42,23 @@ import jax
 import jax.numpy as jnp
 
 
+# Compaction pays when the per-LIVE-PACKET traversal cost it saves
+# exceeds the butterfly routing it adds. That cost scales with scene
+# traversal weight; tri count is the static proxy. Measured regimes
+# (session V2, 1080p 4spp): helmet (15,452 tris, intersect-light) runs
+# +78% WITHOUT compaction (21.8 -> 38.7 MRays/s; the butterfly was
+# 22.5% of its frame and its data staging much of another 27%), while
+# dragon (100,024 tris, traversal-heavy) runs -36% without (9.27 ->
+# 5.91). Threshold between the measured points.
+COMPACT_MIN_TRIS = 32768
+
+
 def pick_compact_group(n_rays: int, max_group: int = 262144,
-                       max_pad: float = 0.125) -> int:
+                       max_pad: float = 0.125,
+                       num_tris: int | None = None) -> int:
     """Largest power-of-two compaction group <= max_group whose wave
-    padding stays under max_pad.
+    padding stays under max_pad; 0 (compaction off) for traversal-light
+    scenes when `num_tris` is given (see COMPACT_MIN_TRIS).
 
     The compactor pads each wave up to a multiple of the group, and every
     padded lane traces as a dead ray. A naive "largest power of two <= n"
@@ -54,6 +67,8 @@ def pick_compact_group(n_rays: int, max_group: int = 262144,
     better (deeper routing, denser packets), so take the largest group
     that keeps the pad overhead bounded.
     """
+    if num_tris is not None and num_tris < COMPACT_MIN_TRIS:
+        return 0
     g = max_group
     while g > 2048:
         npad = -(-n_rays // g) * g

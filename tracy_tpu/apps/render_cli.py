@@ -125,7 +125,8 @@ def main(argv=None):
             # trace for real — see pick_compact_group).
             from tracy_tpu.accel.reorder import pick_compact_group
 
-            compact = pick_compact_group(builder.width * builder.height)
+            compact = pick_compact_group(builder.width * builder.height,
+                                         num_tris=builder.num_triangles)
         else:
             compact = 0
 

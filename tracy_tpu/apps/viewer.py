@@ -92,7 +92,8 @@ def main(argv=None):
     if on_tpu:
         from tracy_tpu.accel.reorder import pick_compact_group
 
-        compact = pick_compact_group(builder.width * builder.height)
+        compact = pick_compact_group(builder.width * builder.height,
+                                     num_tris=builder.num_triangles)
     else:
         compact = 0
     cfg = RenderConfig(width=builder.width, height=builder.height,
