@@ -87,8 +87,16 @@ def main() -> int:
                    data_root="/root/reference")
     b.width, b.height = w, h
     scene = b.build()
+    from tracy_tpu.accel.reorder import pick_compact_group
+
+    compact_env = os.environ.get("TRACE_COMPACT", "")
+    compact = (int(compact_env) if compact_env else
+               pick_compact_group(w * h, num_tris=b.num_triangles))
+    bskip = os.environ.get("TRACE_BLOCKSKIP", "0") == "1"
+    print(f"[trace] compact={compact} block_skip={bskip}", flush=True)
     cfg = RenderConfig(width=w, height=h, spp=1, accel="packet",
-                       wave_compact_group=262144)
+                       wave_compact_group=compact,
+                       pallas_block_skip=bskip)
     r = Renderer(cfg)
     st = init_state(cfg)
     # Warm up/compile OUTSIDE the trace.
