@@ -240,7 +240,7 @@ def main():
         pallas_mt_mxu=os.environ.get("TRACY_BENCH_MTMXU", ""),
         # Dead-step block skip (bit-identical; see config.pallas_block_skip).
         pallas_block_skip=os.environ.get("TRACY_BENCH_BLOCKSKIP",
-                                         "0") == "1",
+                                         "1") == "1",
         # Batched texel-page fetch (textured shade stage; bit-identical).
         # 0 = off, 8/16 = candidate pages per drain ("1" = legacy on = 8).
         pallas_texfetch_batch=(lambda s: 8 if s == "1" else int(s))(
