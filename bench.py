@@ -194,7 +194,8 @@ def main():
         # heuristic (pick_compact_group); env overrides with a number.
         wave_compact_group=(lambda s: int(s) if s else (
             0 if on_cpu else pick_compact_group(
-                width * height, num_tris=b.num_triangles)))(
+                width * height, num_tris=b.num_triangles,
+                has_translucent=b.has_translucent)))(
             os.environ.get("TRACY_BENCH_COMPACT", "")),
         # Bounce-0 compaction peel (bit-identical; saves 2 routings/sample).
         wave_compact_skip_first=os.environ.get(

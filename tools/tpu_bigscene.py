@@ -82,7 +82,8 @@ def main() -> int:
     rc = 0
     for tag, leaf in configs:
         grp = int(os.environ.get("BIG_COMPACT",
-                                 pick_compact_group(w * h, num_tris=ntris)))
+                                 pick_compact_group(w * h, num_tris=ntris,
+                                                    has_translucent=False)))
         cfg = RenderConfig(
             width=w, height=h, spp=1, accel="packet",
             wave_compact_group=grp, pallas_leaf_size=leaf,

@@ -98,8 +98,9 @@ def main() -> int:
         cfg = RenderConfig(
             width=b.width, height=b.height, spp=1, accel="packet",
             pallas_rb_mode=os.environ.get("PARITY_RBM", "vlist"),
-            wave_compact_group=pick_compact_group(b.width * b.height,
-                                                  num_tris=b.num_triangles),
+            wave_compact_group=pick_compact_group(
+                b.width * b.height, num_tris=b.num_triangles,
+                has_translucent=b.has_translucent),
             use_pallas_shade=use_shade,
             pallas_woop_bf16=os.environ.get("PARITY_WOOPBF16", "0") == "1",
             pallas_bvh_width=int(os.environ.get("PARITY_BVHW", "4")),

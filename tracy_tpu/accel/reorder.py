@@ -42,23 +42,29 @@ import jax
 import jax.numpy as jnp
 
 
-# Compaction pays when the per-LIVE-PACKET traversal cost it saves
-# exceeds the butterfly routing it adds. That cost scales with scene
-# traversal weight; tri count is the static proxy. Measured regimes
-# (session V2, 1080p 4spp): helmet (15,452 tris, intersect-light) runs
-# +78% WITHOUT compaction (21.8 -> 38.7 MRays/s; the butterfly was
-# 22.5% of its frame and its data staging much of another 27%), while
-# dragon (100,024 tris, traversal-heavy) runs -36% without (9.27 ->
-# 5.91). Threshold between the measured points.
+# Compaction pays when the traversal cost it saves on sparse waves
+# exceeds the butterfly routing it adds — which needs BOTH the per-
+# live-packet cost to be high AND rays to actually die (a sparse wave
+# to compact). Static proxies, both measured at 1080p 4spp (V2/Z2):
+# * tri count (per-packet traversal cost): helmet 15,452 tris runs
+#   +78% WITHOUT compaction (21.8 -> 38.7 MRays/s; the butterfly was
+#   22.5% of its frame + most of the 27% data staging); dragon 100,024
+#   runs -36% without (9.27 -> 5.91); spheres 49,600 likes it ON
+#   (18.5 vs 17.4).
+# * translucent materials (rays refract THROUGH and survive RR for all
+#   bounces -> waves never thin out the cheap way): random.scn is only
+#   13,973 tris but collapses without compaction (15.5 -> 7.2).
 COMPACT_MIN_TRIS = 32768
 
 
 def pick_compact_group(n_rays: int, max_group: int = 262144,
                        max_pad: float = 0.125,
-                       num_tris: int | None = None) -> int:
+                       num_tris: int | None = None,
+                       has_translucent: bool | None = None) -> int:
     """Largest power-of-two compaction group <= max_group whose wave
     padding stays under max_pad; 0 (compaction off) for traversal-light
-    scenes when `num_tris` is given (see COMPACT_MIN_TRIS).
+    OPAQUE scenes when scene statistics are given (see the regime notes
+    above — translucent scenes keep rays alive too long to skip it).
 
     The compactor pads each wave up to a multiple of the group, and every
     padded lane traces as a dead ray. A naive "largest power of two <= n"
@@ -67,7 +73,8 @@ def pick_compact_group(n_rays: int, max_group: int = 262144,
     better (deeper routing, denser packets), so take the largest group
     that keeps the pad overhead bounded.
     """
-    if num_tris is not None and num_tris < COMPACT_MIN_TRIS:
+    if (num_tris is not None and num_tris < COMPACT_MIN_TRIS
+            and has_translucent is False):
         return 0
     g = max_group
     while g > 2048:

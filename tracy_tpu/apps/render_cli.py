@@ -125,8 +125,10 @@ def main(argv=None):
             # trace for real — see pick_compact_group).
             from tracy_tpu.accel.reorder import pick_compact_group
 
-            compact = pick_compact_group(builder.width * builder.height,
-                                         num_tris=builder.num_triangles)
+            compact = pick_compact_group(
+                builder.width * builder.height,
+                num_tris=builder.num_triangles,
+                has_translucent=builder.has_translucent)
         else:
             compact = 0
 

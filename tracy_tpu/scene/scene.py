@@ -248,6 +248,12 @@ class SceneBuilder:
     def num_triangles(self) -> int:
         return sum(m.num_triangles for m in self.meshes)
 
+    @property
+    def has_translucent(self) -> bool:
+        """Any BTDF material (rays refract through and survive RR for all
+        bounces — drives the compaction regime, accel/reorder.py)."""
+        return any(m.translucency > 0.0 for m in self.materials)
+
     # -- build ---------------------------------------------------------------
 
     def build(self, dtype=jnp.float32) -> SceneArrays:
