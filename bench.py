@@ -284,15 +284,26 @@ def main():
     print(f"[bench] warmup (compile + {total} frames): {t1 - t0:.1f}s, "
           f"rays={int(rays)}", file=sys.stderr)
 
-    r.timer.reset()
-    r.total_rays = 0.0
-    state, rays = r.step_many(scene, state, total)
-    mrays = r.mrays_per_sec
-    print(
-        f"[bench] {total} frames in {r.timer.total:.2f}s "
-        f"-> {mrays:.2f} MRays/s",
-        file=sys.stderr,
-    )
+    # Statistically decisive measurement (VERDICT r4 #2): the wins being
+    # chased (~5%) sit inside single-run noise (~2% observed across rounds
+    # 3-4), so the headline is the MEDIAN of >=3 timed repetitions of the
+    # same compiled program, and the JSON carries the spread. One rep on
+    # the slow CPU fallback (it is a liveness record, not a measurement).
+    reps = int(os.environ.get("TRACY_BENCH_REPS", "1" if on_cpu else "3"))
+    rep_mrays = []
+    for i in range(max(1, reps)):
+        r.timer.reset()
+        r.total_rays = 0.0
+        state, rays = r.step_many(scene, state, total)
+        rep_mrays.append(r.mrays_per_sec)
+        print(f"[bench] rep {i + 1}/{reps}: {total} frames in "
+              f"{r.timer.total:.2f}s -> {rep_mrays[-1]:.2f} MRays/s",
+              file=sys.stderr)
+    mrays = float(np.median(rep_mrays))
+    spread = (max(rep_mrays) - min(rep_mrays)) / mrays if mrays > 0 else 0.0
+    print(f"[bench] median of {len(rep_mrays)}: {mrays:.2f} MRays/s "
+          f"(min {min(rep_mrays):.2f}, max {max(rep_mrays):.2f}, "
+          f"spread {100 * spread:.1f}%)", file=sys.stderr)
 
     if not on_cpu:
         # Ceiling report (VERDICT r2 #8): every headline carries its
@@ -350,6 +361,11 @@ def main():
         "value": round(mrays, 3),
         "unit": "MRays/s",
         "vs_baseline": round(vs, 3),
+        # Median-of-N with spread (VERDICT r4 #2): value above is the
+        # median; reps are the individual measurements of the same
+        # compiled program, spread = (max-min)/median.
+        "reps": [round(x, 3) for x in rep_mrays],
+        "spread": round(spread, 4),
         # The config that ACTUALLY ran (fallback-proof: "none" means the
         # full production config; anything else is a degraded measurement).
         "fallback": fallback,

@@ -209,8 +209,14 @@ def main() -> int:
     # and the fused bounce megakernel are bit-identical to the XLA shading
     # math BY DESIGN (interpret-asserted); prove it on real Mosaic before
     # any bench trusts their numbers. Each render reuses the gate scene.
+    extra_fail = []
     if os.environ.get("TRACY_GATE_EXTRA", "1") == "1":
-        def render_with(tag, **kw):
+        def render_with(tag, tol=1e-5, note="", **kw):
+            # tol is a per-comparison CONTRACT: exceeding it FAILS the gate.
+            # Strict (1e-5) where paths are bit-identical even on Mosaic;
+            # loose where on-chip fma-contraction flips a few Russian-
+            # roulette branches (same algorithm, different fused rounding
+            # — the interpret-mode tests assert bit-identity of the math).
             t0 = time.perf_counter()
             try:
                 c = cfg.replace(**kw)
@@ -219,18 +225,33 @@ def main() -> int:
                 s_, _ = rr_.step_many(scene, s_, 4)
                 a = np.asarray(s_.accum)
                 d = np.abs(a - acc_default).max()
-                verdict = "ok" if d < 1e-5 else f"MISMATCH |d|max={d:.2e}"
-                print(f"[gate] render {tag}: {verdict} "
+                verdict = ("ok" if d < tol
+                           else f"MISMATCH |d|max={d:.2e} > tol={tol:.0e}")
+                if d >= tol:
+                    extra_fail.append(tag)
+                print(f"[gate] render {tag}: {verdict}"
+                      f"{' [' + note + ']' if note and d < tol else ''} "
                       f"({time.perf_counter()-t0:.1f}s)", flush=True)
             except Exception as e:
                 print(f"[gate] render {tag} FAILED: {type(e).__name__}: {e} "
                       f"({time.perf_counter()-t0:.1f}s) — skip its benches",
                       flush=True)
+                extra_fail.append(tag)
 
         if cfg.use_pallas_shade:
-            render_with("shade-off-vs-on", use_pallas_shade=False)
+            # Measured stable at |d|max=7.24e-03 across every round-4
+            # session (logs/r4_session_*.log): a handful of RR branch
+            # flips from Mosaic-vs-XLA rounding. 2e-2 gives ~3x headroom;
+            # a real shading regression lands orders of magnitude above.
+            render_with("shade-off-vs-on", tol=2e-2,
+                        note="statistical: on-chip RR flips, known 7.2e-3",
+                        use_pallas_shade=False)
         render_with("bounce-megakernel", use_pallas_bounce=True)
 
+    if extra_fail:
+        print(f"[gate] FAIL: extra-render comparisons out of tolerance: "
+              f"{extra_fail}", flush=True)
+        return 1
     print("[gate] PASS", flush=True)
     return 0
 

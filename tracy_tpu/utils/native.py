@@ -75,7 +75,8 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
         lib.tracy_build_bvh.restype = ctypes.c_int
         lib.tracy_build_bvh.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int,  # ..., max_depth, cost_mode
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p,
         ]
         lib.tracy_obj_scan.restype = ctypes.c_int64
