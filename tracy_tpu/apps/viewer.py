@@ -16,8 +16,9 @@ the window re-derives the render resolution and the camera projection
 win_raytracer.cpp:118-124, camera.h:44-55) — on TPU a resize implies a
 recompile, so it happens once per new size, not per frame.
 
-Implemented with matplotlib (the only GUI stack in the image — no X11 dev
-headers for a native window). Run:
+The per-tick logic lives in ViewerSession (GUI-free, tested headless in
+tests/test_viewer.py); main() wraps it in matplotlib (the only GUI stack
+in the image — no X11 dev headers for a native window). Run:
 
     python -m tracy_tpu.apps.viewer -scene data/scenes/cornell.scn
 
@@ -28,7 +29,9 @@ Headless environments can use -frames N -out img.png for a burst render
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import time
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -43,9 +46,119 @@ def preview_config(cfg, scale: int):
     h = max(32, (cfg.height // scale) // 32 * 32)
     if w >= cfg.width or h >= cfg.height:
         return None
-    import dataclasses as _dc
+    return dataclasses.replace(cfg, width=w, height=h)
 
-    return _dc.replace(cfg, width=w, height=h)
+
+class ViewerSession:
+    """One viewer's worth of state + the per-frame tick, GUI-free.
+
+    The reference's main loop (win_raytracer.cpp:494-556) is: process
+    events -> process inputs (camera cut resets accumulation) -> OnUpdate
+    (one frame of tracing) -> present. tick() is that loop body; the GUI
+    layer feeds events into .controller / .request_resize() and displays
+    the returned u8 image.
+    """
+
+    def __init__(self, cfg, scene, controller, preview_scale: int = 4):
+        from tracy_tpu.render.renderer import Renderer, init_state
+
+        self._Renderer = Renderer
+        self._init_state = init_state
+        self.cfg = cfg
+        self.scene = scene
+        self.controller = controller
+        self.preview_scale = preview_scale
+        self.renderer = Renderer(cfg)
+        self.state = init_state(cfg)
+        self.pcfg = preview_config(cfg, preview_scale)
+        self.prenderer = Renderer(self.pcfg) if self.pcfg is not None else None
+        self.pstate = init_state(self.pcfg) if self.pcfg is not None else None
+        self.previewing = False
+        self._resize_req: Optional[Tuple[int, int]] = None
+
+    # -- event feeds ---------------------------------------------------------
+
+    def request_resize(self, width: int, height: int):
+        """Window resize (reference WM_SIZE): render resolution + camera
+        projection re-derive on the next tick. Snapped to 32-multiples so
+        packets keep square tiles; a resize implies a jit recompile on TPU,
+        so it is applied once per new size, not per pixel-drag event."""
+        self._resize_req = (max(64, int(width) // 32 * 32),
+                            max(32, int(height) // 32 * 32))
+
+    # -- the loop body -------------------------------------------------------
+
+    def _apply_resize(self):
+        w2, h2 = self._resize_req
+        self._resize_req = None
+        if (w2, h2) == (self.cfg.width, self.cfg.height):
+            return False
+        self.cfg = dataclasses.replace(self.cfg, width=w2, height=h2)
+        self.controller.state = dataclasses.replace(
+            self.controller.state, aspect=w2 / max(h2, 1))
+        self.scene = dataclasses.replace(
+            self.scene, camera=self.controller.state.to_camera())
+        self.renderer = self._Renderer(self.cfg)
+        self.state = self._init_state(self.cfg)
+        self.pcfg = preview_config(self.cfg, self.preview_scale)
+        self.prenderer = (self._Renderer(self.pcfg)
+                          if self.pcfg is not None else None)
+        self.pstate = (self._init_state(self.pcfg)
+                       if self.pcfg is not None else None)
+        return True
+
+    def tick(self, dt: float, mouse_pos=None) -> np.ndarray:
+        """One frame: inputs -> (maybe) camera cut -> render -> u8 image
+        at the CURRENT display resolution (preview frames are upscaled)."""
+        if self._resize_req is not None:
+            self._apply_resize()
+
+        moved = self.controller.update(dt, mouse_pos)
+        if moved:
+            # Camera cut: rebuild camera arrays, reset accumulation
+            # (TracyEvent::eCameraCut, cpu_trace.cpp:76-78).
+            self.scene = dataclasses.replace(
+                self.scene, camera=self.controller.state.to_camera())
+            self.state = self._init_state(self.cfg)
+            self.renderer.total_rays = 0.0
+            self.renderer.timer.reset()
+            if self.prenderer is not None:
+                self.pstate = self._init_state(self.pcfg)
+                self.previewing = True
+        elif self.previewing:
+            self.previewing = False  # first still frame: back to full res
+            self.state = self._init_state(self.cfg)
+
+        if self.previewing and self.prenderer is not None:
+            self.pstate, _ = self.prenderer.step(self.scene, self.pstate)
+            img = np.asarray(self.prenderer.display_u8(self.pstate))
+            # nearest-neighbor upscale to the display size
+            img = img.repeat(self.preview_scale, axis=0).repeat(
+                self.preview_scale, axis=1)[:self.cfg.height, :self.cfg.width]
+            return img
+        self.state, _ = self.renderer.step(self.scene, self.state)
+        return np.asarray(self.renderer.display_u8(self.state))
+
+    def title(self) -> str:
+        r = self.prenderer if (self.previewing and self.prenderer) else self.renderer
+        st = self.pstate if (self.previewing and self.prenderer) else self.state
+        return (f"{r.mrays_per_sec:.2f} MRays/s @ "
+                f"{int(st.frame) / max(r.timer.total, 1e-9):.2f} fps"
+                f"{' [preview]' if self.previewing else ''}")
+
+
+def make_session(builder, scene, cfg, preview_scale: int = 4) -> ViewerSession:
+    from tracy_tpu.apps.input import CameraController, CameraState
+
+    cam = builder.camera_params
+    controller = CameraController(CameraState(
+        eye=np.asarray(cam["eye"], dtype=np.float64),
+        target=np.asarray(cam["center"], dtype=np.float64),
+        up=np.asarray(cam["up"], dtype=np.float64),
+        fov_degrees=float(cam["fov_degrees"]),
+        aspect=builder.width / max(builder.height, 1),
+    ))
+    return ViewerSession(cfg, scene, controller, preview_scale)
 
 
 def main(argv=None):
@@ -70,7 +183,6 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     from tracy_tpu.config import RenderConfig
-    from tracy_tpu.apps.input import CameraController, CameraState
     from tracy_tpu.render.renderer import Renderer, init_state
     from tracy_tpu.scene.scn_parser import default_scene, load_scene
     from tracy_tpu.utils.log import log
@@ -103,19 +215,9 @@ def main(argv=None):
                        accel="packet" if on_tpu else "bvh",
                        wave_compact_group=compact)
 
-    cam = builder.camera_params
-    controller = CameraController(CameraState(
-        eye=np.asarray(cam["eye"], dtype=np.float64),
-        target=np.asarray(cam["center"], dtype=np.float64),
-        up=np.asarray(cam["up"], dtype=np.float64),
-        fov_degrees=float(cam["fov_degrees"]),
-        aspect=builder.width / max(builder.height, 1),
-    ))
-
-    renderer = Renderer(cfg)
-    state = init_state(cfg)
-
     if args.frames > 0:
+        renderer = Renderer(cfg)
+        state = init_state(cfg)
         for _ in range(args.frames):
             state, _ = renderer.step(scene, state)
         from tracy_tpu.utils.image_io import save_image
@@ -124,7 +226,7 @@ def main(argv=None):
         log(f"saved {args.out}")
         return 0
 
-    import dataclasses
+    sess = make_session(builder, scene, cfg, args.preview_scale)
 
     import matplotlib
 
@@ -135,14 +237,7 @@ def main(argv=None):
     ax.set_axis_off()
     im = ax.imshow(np.zeros((cfg.height, cfg.width, 3), np.uint8))
     mouse_pos = [None]
-
-    # Preview-resolution renderer for camera motion (16x fewer rays at the
-    # default scale): its own Renderer + state so both jit programs stay
-    # cached across mode flips.
-    pcfg = preview_config(cfg, args.preview_scale)
-    prenderer = Renderer(pcfg) if pcfg is not None else None
-    pstate = init_state(pcfg) if pcfg is not None else None
-    previewing = False
+    controller = sess.controller
 
     fig.canvas.mpl_connect("key_press_event", lambda e: controller.key_down(e.key or ""))
     fig.canvas.mpl_connect("key_release_event", lambda e: controller.key_up(e.key or ""))
@@ -156,17 +251,8 @@ def main(argv=None):
     fig.canvas.mpl_connect(
         "motion_notify_event", lambda e: mouse_pos.__setitem__(0, (e.x, e.y))
     )
-    # Window resize -> new render resolution + projection (the reference's
-    # WM_SIZE -> Camera::UpdateProjection path). Snapped to 32-multiples;
-    # applied in the loop (a resize implies a jit recompile on TPU).
-    resize_req = [None]
-
-    def _on_resize(e):
-        w2 = max(64, int(e.width) // 32 * 32)
-        h2 = max(32, int(e.height) // 32 * 32)
-        resize_req[0] = (w2, h2)
-
-    fig.canvas.mpl_connect("resize_event", _on_resize)
+    fig.canvas.mpl_connect(
+        "resize_event", lambda e: sess.request_resize(e.width, e.height))
 
     last_title = time.perf_counter()
     last_frame = time.perf_counter()
@@ -176,58 +262,15 @@ def main(argv=None):
         dt = min(now - last_frame, 0.25) * 60.0  # reference dt is in frames-ish
         last_frame = now
 
-        if resize_req[0] is not None and resize_req[0] != (cfg.width,
-                                                           cfg.height):
-            w2, h2 = resize_req[0]
-            resize_req[0] = None
-            cfg = dataclasses.replace(cfg, width=w2, height=h2)
-            controller.state = dataclasses.replace(
-                controller.state, aspect=w2 / max(h2, 1))
-            scene = dataclasses.replace(scene,
-                                        camera=controller.state.to_camera())
-            renderer = Renderer(cfg)
-            state = init_state(cfg)
-            pcfg = preview_config(cfg, args.preview_scale)
-            prenderer = Renderer(pcfg) if pcfg is not None else None
-            pstate = init_state(pcfg) if pcfg is not None else None
-            log(f"resize -> {w2}x{h2} (projection updated)")
-        elif resize_req[0] is not None:
-            resize_req[0] = None
-
-        moved = controller.update(dt, mouse_pos[0])
-        if moved:
-            # Camera cut: rebuild camera arrays, reset accumulation
-            # (TracyEvent::eCameraCut, cpu_trace.cpp:76-78).
-            scene = dataclasses.replace(scene, camera=controller.state.to_camera())
-            state = init_state(cfg)
-            renderer.total_rays = 0.0
-            renderer.timer.reset()
-            if prenderer is not None:
-                pstate = init_state(pcfg)
-                previewing = True
-        elif previewing:
-            previewing = False  # first still frame: back to full res
-            state = init_state(cfg)
-
-        if previewing and prenderer is not None:
-            pstate, _ = prenderer.step(scene, pstate)
-            img = np.asarray(prenderer.display_u8(pstate))
-            # nearest-neighbor upscale to the display size
-            img = img.repeat(args.preview_scale, axis=0).repeat(
-                args.preview_scale, axis=1)[:cfg.height, :cfg.width]
-            im.set_data(img)
-        else:
-            state, _ = renderer.step(scene, state)
-            im.set_data(renderer.display_u8(state))
+        w0, h0 = sess.cfg.width, sess.cfg.height
+        img = sess.tick(dt, mouse_pos[0])
+        if (sess.cfg.width, sess.cfg.height) != (w0, h0):
+            log(f"resize -> {sess.cfg.width}x{sess.cfg.height} "
+                f"(projection updated)")
+        im.set_data(img)
 
         if now - last_title > 1.0:
-            r_live = prenderer if previewing and prenderer else renderer
-            st_live = pstate if previewing and prenderer else state
-            fig.suptitle(
-                f"{builder.name} — {r_live.mrays_per_sec:.2f} MRays/s @ "
-                f"{int(st_live.frame) / max(r_live.timer.total, 1e-9):.2f} "
-                f"fps{' [preview]' if previewing else ''}"
-            )
+            fig.suptitle(f"{builder.name} — {sess.title()}")
             last_title = now
         fig.canvas.draw_idle()
         fig.canvas.flush_events()
