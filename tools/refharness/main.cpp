@@ -12,6 +12,7 @@
 //   the image).
 //
 // Usage: refharness <scene.scn> <frames> <out.raw> [width height]
+#include <chrono>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -65,6 +66,10 @@ int main(int argc, char** argv)
 	             world.GetName().c_str(), world.GetObjectCount(),
 	             world.GetTriCount(), width, height, frames);
 
+	// Timing mirrors the reference's own exit-time run average
+	// (win_raytracer.cpp:511-515,563-569): the Timer wraps exactly the
+	// kernel->OnUpdate call, and MRays/s = GetRayCount / accumulated span.
+	const auto t0 = std::chrono::steady_clock::now();
 	for (uint32_t f = 0; f < frames; ++f)
 	{
 		kernel.OnUpdate(world, 0.f);
@@ -74,7 +79,13 @@ int main(int argc, char** argv)
 			std::fflush(stderr);
 		}
 	}
+	const double secs = std::chrono::duration<double>(
+		std::chrono::steady_clock::now() - t0).count();
 	std::fprintf(stderr, "\n");
+	std::fprintf(stderr, "perf: %.3f MRays/s (%llu rays, %.2fs, %u frames)\n",
+	             static_cast<double>(kernel.GetRayCount(false)) / 1e6 / secs,
+	             static_cast<unsigned long long>(kernel.GetRayCount(false)),
+	             secs, frames);
 
 	kernel.OnRender(handle);
 	const uint64_t rays = kernel.GetRayCount(false);
