@@ -36,7 +36,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HARNESS_DIR = os.path.join(REPO, "tools", "refharness")
 PERF_BIN = os.path.join(HARNESS_DIR, "refharness_perf")
-RESULTS = os.path.join(REPO, "logs", "headtohead.json")
+# Sessions run from a git-archive snapshot (tools/tpu_session.sh); point
+# TRACY_H2H_RESULTS at the real repo so results survive the snapshot.
+RESULTS = os.environ.get(
+    "TRACY_H2H_RESULTS", os.path.join(REPO, "logs", "headtohead.json"))
 SCENES_DIR = "/root/reference/data/scenes"
 
 # frames chosen so the reference side runs ~15-60s per scene (amortizes
