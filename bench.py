@@ -242,6 +242,8 @@ def main():
         # Dead-step block skip (bit-identical; see config.pallas_block_skip).
         pallas_block_skip=os.environ.get("TRACY_BENCH_BLOCKSKIP",
                                          "1") == "1",
+        # Two-pop inner batching (statistical-parity; config.pallas_two_pop).
+        pallas_two_pop=os.environ.get("TRACY_BENCH_TWOPOP", "0") == "1",
         # Batched texel-page fetch (textured shade stage; bit-identical).
         # 0 = off, 8/16 = candidate pages per drain ("1" = legacy on = 8).
         pallas_texfetch_batch=(lambda s: 8 if s == "1" else int(s))(
@@ -378,6 +380,7 @@ def main():
             "defer_uv": cfg.pallas_defer_uv,
             "mt_point": cfg.pallas_mt_point,
             "mt_mxu": cfg.pallas_mt_mxu,
+            "two_pop": cfg.pallas_two_pop,
             # The bounce megakernel has eligibility gates beyond its config
             # flag (rb_mode='fused', untextured, Pallas tables selected) —
             # record whether it actually BOUND, not whether it was asked

@@ -850,3 +850,58 @@ def test_pallas_row_skip_wide_packets(prays):
     hr, _ = ir(o, d, act)
     np.testing.assert_array_equal(np.asarray(h0.mask), np.asarray(hr.mask))
     np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(hr.t))
+
+
+@pytest.mark.parametrize("row_skip", [False, True])
+def test_pallas_two_pop(row_skip):
+    """Two-pop inner batching (one fused [sub, 2W] slab reduce per TWO
+    popped inner nodes) changes only VISIT ORDER: pruning is strictly
+    conservative (both nodes see pop-time best_t) and the final best_t is
+    a pure min over the same candidate set — mask and t must be EXACT.
+    Only equal-t tie winners (attrs) may flip, like mt_point."""
+    b = default_scene(32, 24)
+    tex = b.add_texture(np.full((4, 4, 4), 0.5, np.float32))
+    b.set_material_texture(1, 0, tex)
+    scene = b.build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    i0 = make_pallas_intersector(scene, bvh, with_tangent=True,
+                                 interpret=True, rb_mode="vlist", width=4,
+                                 slab_batch=True, row_skip=row_skip)
+    i2 = make_pallas_intersector(scene, bvh, with_tangent=True,
+                                 interpret=True, rb_mode="vlist", width=4,
+                                 slab_batch=True, row_skip=row_skip,
+                                 two_pop=True)
+    o, d = _rays_for(scene, 4096, seed=31)
+    act = jnp.ones(4096, bool).at[300:900].set(False)
+    h0, a0 = i0(o, d, act)
+    h2, a2 = i2(o, d, act)
+    np.testing.assert_array_equal(np.asarray(h0.mask), np.asarray(h2.mask))
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h2.t))
+    m = np.asarray(h0.mask)
+    same = (np.asarray(a0.material)[m] == np.asarray(a2.material)[m])
+    assert same.mean() >= 0.999  # equal-t tie flips only
+    np.testing.assert_array_equal(np.asarray(a0.normal)[m][same],
+                                  np.asarray(a2.normal)[m][same])
+    np.testing.assert_array_equal(np.asarray(a0.uv)[m][same],
+                                  np.asarray(a2.uv)[m][same])
+
+
+def test_pallas_two_pop_production_config():
+    """Two-pop at the full production knob set (vlist + row_skip +
+    defer_uv + mt_point, width 4)."""
+    b = default_scene(32, 24)
+    scene = b.build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=64)
+    kw = dict(with_tangent=False, interpret=True, rb_mode="vlist", width=4,
+              slab_batch=True, row_skip=True, defer_uv=True, mt_point=True)
+    i0 = make_pallas_intersector(scene, bvh, **kw)
+    i2 = make_pallas_intersector(scene, bvh, two_pop=True, **kw)
+    o, d = _rays_for(scene, 3072, seed=37)
+    act = jnp.ones(3072, bool)
+    h0, a0 = i0(o, d, act)
+    h2, a2 = i2(o, d, act)
+    np.testing.assert_array_equal(np.asarray(h0.mask), np.asarray(h2.mask))
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h2.t))
+    m = np.asarray(h0.mask)
+    same = (np.asarray(a0.material)[m] == np.asarray(a2.material)[m])
+    assert same.mean() >= 0.999

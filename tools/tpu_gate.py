@@ -143,6 +143,13 @@ def main() -> int:
              1, 1, 0, "", {"block_skip": True}),
             ("blockskip-prays4096", False, "vlist", 4, False, 4096, True,
              1, 1, 0, "", {"block_skip": True}),
+            # Two-pop inner batching: mask/t are EXACT (pruning is
+            # conservative, best_t a pure min) — strict bar; the prod
+            # variant includes mt_point so it gets the statistical bar.
+            ("twopop-rowskip", False, "vlist", 4, False, 1024, True,
+             1, 1, 0, "", {"two_pop": True}),
+            ("twopop-prod4096", False, "vlist", 4, False, 4096, True,
+             1, 1, 1, "", {"two_pop": True}),
         ]:
             t0 = time.perf_counter()
             try:

@@ -212,6 +212,16 @@ class RenderConfig:
     # metrics are unchanged to 4 decimals on every scene checked).
     pallas_mt_point: bool = True
 
+    # TWO-POP inner batching: when the popped stack entry AND the next
+    # one are both inner nodes, resolve both with ONE drained [sub, 2W]
+    # slab reduction (the drain is ~60% of inner-visit cost). The second
+    # node is slab-tested before the first's subtree tightened best_t:
+    # a few extra child visits (modeled +2.7% inner / +2.9% leaf on
+    # dragon wave-2 for -44% drains, tools/twopop_model.py) and equal-t
+    # tie winners can flip -> statistical-parity knob like mt_point.
+    # Default off until measured on chip (round-5 candidate).
+    pallas_two_pop: bool = False
+
     # Dead-step BLOCK SKIP: late compacted waves are mostly all-dead
     # packets, and even the in-kernel dead-packet fast path pays the full
     # block-pipeline machinery (in/out block DMAs + grid step). With

@@ -496,7 +496,8 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
             shade: dict = None, mtab_ref=None, sc_ref=None,
             sub: int = 8, slab_batch: bool = False,
             row_skip: bool = False, defer_uv: bool = False,
-            mt_point: bool = False, mt_mxu: str = ""):
+            mt_point: bool = False, mt_mxu: str = "",
+            two_pop: bool = False):
     """One grid step = `packets_per_step` packets, unrolled with STATIC
     packet indices. Round 1 looped packets with fori and indexed
     rays_ref/out_ref by the traced loop index — a value-level dynamic
@@ -535,7 +536,7 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
                              mtab_ref=mtab_ref, sub=sub,
                              slab_batch=slab_batch, row_skip=row_skip,
                              defer_uv=defer_uv, mt_point=mt_point,
-                             mt_mxu=mt_mxu)
+                             mt_mxu=mt_mxu, two_pop=two_pop)
 
             @pl.when(jnp.logical_not(any_live))
             def _(pkt=pkt):
@@ -563,7 +564,7 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
                          woop_bf16=woop_bf16, sub=sub,
                          slab_batch=slab_batch, row_skip=row_skip,
                          defer_uv=defer_uv, mt_point=mt_point,
-                             mt_mxu=mt_mxu)
+                         mt_mxu=mt_mxu, two_pop=two_pop)
             continue
         # Dead-packet fast path: per-wave compaction leaves late waves
         # mostly dead packets, and the full body's plumbing floor (ray
@@ -585,7 +586,7 @@ def _kernel(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref, out_ref,
                          woop_bf16=woop_bf16, sub=sub,
                          slab_batch=slab_batch, row_skip=row_skip,
                          defer_uv=defer_uv, mt_point=mt_point,
-                             mt_mxu=mt_mxu)
+                         mt_mxu=mt_mxu, two_pop=two_pop)
 
         @pl.when(jnp.logical_not(any_live))
         def _(pkt=pkt):
@@ -608,7 +609,7 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                  shade_keys=None, mtab_ref=None, sub: int = 8,
                  slab_batch: bool = False, row_skip: bool = False,
                  defer_uv: bool = False, mt_point: bool = False,
-                 mt_mxu: str = ""):
+                 mt_mxu: str = "", two_pop: bool = False):
     from tracy_tpu.ops import pallas_shade as _ps
 
     woop_rows = 8 if woop_bf16 else WOOP_ROWS
@@ -1507,7 +1508,123 @@ def _packet_body(nb_ref, nm_ref, n4b_ref, n4m_ref, tab_ref, rays_ref,
                 sp2 = sp2 + hit_k.astype(jnp.int32)
             return (sp2, bt)
 
-        return jax.lax.cond(is_leaf, leaf_case4, inner_case4, sp, c[1])
+        def fused_case4(sp_in, bt):
+            """TWO-POP inner batching: this inner node AND the next stack
+            entry (also inner) resolved with ONE drained [sub, 2W] slab
+            reduction instead of two [sub, W] ones — the vector->scalar
+            drain is ~60% of the inner-visit cost (NOTES.md drain law),
+            and the doubled vector work rides the underutilized VPU.
+
+            Order semantics: both nodes see best_t AS OF POP TIME (the
+            second node is visited before the first node's subtree could
+            tighten best_t), so a few more children survive the push test
+            — wasted visits only, never wrong results (every survivor is
+            re-tested on pop; winners are strict-min best-t). Visit-order
+            change flips equal-t cross-chunk tie winners: STATISTICAL
+            parity, like mt_point. Modeled inflation on dragon wave-2:
+            +2.7% inner / +2.9% leaf for -44% drains
+            (tools/twopop_model.py)."""
+            W = bvh_width
+            if "countvisits" in _ABLATE:
+                rbl_ref[3] = rbl_ref[3] + 2
+            e2 = stack_ref[sp_in - 1]
+            sp_in = sp_in - 1
+            planes, vals, tags = [], [], []
+            for e_node in (e, e2):
+                row = n4b_ref[pl.ds(e_node, 1), :]  # [1, 6W]
+                m8 = n4m_ref[pl.ds(e_node, 1), :]  # [1, 2W]
+                for k in range(W):
+                    o6 = 6 * k
+                    t0x = (row[0, o6 + 0] - ox) * ix
+                    t1x = (row[0, o6 + 3] - ox) * ix
+                    t0y = (row[0, o6 + 1] - oy) * iy
+                    t1y = (row[0, o6 + 4] - oy) * iy
+                    t0z = (row[0, o6 + 2] - oz) * iz
+                    t1z = (row[0, o6 + 5] - oz) * iz
+                    tmn = jnp.maximum(
+                        jnp.maximum(jnp.minimum(t0x, t1x),
+                                    jnp.minimum(t0y, t1y)),
+                        jnp.minimum(t0z, t1z),
+                    )
+                    tmx = jnp.minimum(
+                        jnp.minimum(jnp.maximum(t0x, t1x),
+                                    jnp.maximum(t0y, t1y)),
+                        jnp.maximum(t0z, t1z),
+                    )
+                    hit = (tmx >= jnp.maximum(jnp.float32(EPS), tmn)) & (
+                        tmn < bt)
+                    planes.append(jnp.where(hit, tmn, jnp.float32(BIG)))
+                    vals.append(m8[0, 2 * k])
+                    tags.append(m8[0, 2 * k + 1])
+            mlo = mhi = None
+            if row_skip:
+                rowsub = jnp.concatenate(
+                    [jnp.min(p, axis=1, keepdims=True) for p in planes],
+                    axis=1)  # [sub, 2W] — THE one drained reduce
+                mins = jnp.min(rowsub, axis=0)  # [2W]
+                mlo, mhi = _row_masks(rowsub, 2 * W)
+            else:
+                rows2w = jnp.concatenate(
+                    [jnp.min(p, axis=0, keepdims=True) for p in planes],
+                    axis=0)  # [2W, 128]
+                mins = jnp.min(rows2w, axis=1)  # [2W]
+
+            net4 = ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2))
+            net8 = ((0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6),
+                    (5, 7), (1, 2), (5, 6), (0, 4), (1, 5), (2, 6), (3, 7),
+                    (2, 4), (3, 5), (1, 2), (3, 4), (5, 6))
+            sp2 = sp_in
+            # Push the SECOND-popped node's children first, then the
+            # first's: e popped first == e was nearer; its nearest child
+            # must stay on top of the stack.
+            for base in (W, 0):
+                ts, es, ms = [], [], []
+                for k in range(W):
+                    j = base + k
+                    ts.append(jnp.where(tags[j] >= 0, mins[j],
+                                        jnp.float32(BIG)))
+                    es.append(jnp.where(tags[j] == 1, -(vals[j] + 1),
+                                        vals[j]))
+                    if row_skip:
+                        ms.append((mlo[j], mhi[j] if sub > 32 else None))
+                    else:
+                        ms.append(None)
+                for i, j in net4 if W == 4 else net8:
+                    swap = ts[i] > ts[j]
+                    ts[i], ts[j] = (jnp.where(swap, ts[j], ts[i]),
+                                    jnp.where(swap, ts[i], ts[j]))
+                    es[i], es[j] = (jnp.where(swap, es[j], es[i]),
+                                    jnp.where(swap, es[i], es[j]))
+                    if row_skip:
+                        ms[i], ms[j] = (
+                            tuple(jnp.where(swap, b_, a_) if a_ is not None
+                                  else None for a_, b_ in zip(ms[i], ms[j])),
+                            tuple(jnp.where(swap, a_, b_) if a_ is not None
+                                  else None for a_, b_ in zip(ms[i], ms[j])),
+                        )
+                for k in reversed(range(W)):
+                    hit_k = ts[k] < jnp.float32(BIG)
+                    idx = jnp.minimum(sp2, stack_depth - 1)
+
+                    @pl.when(hit_k)
+                    def _(idx=idx, k=k, ts=ts, es=es, ms=ms):
+                        stack_ref[idx] = es[k]
+                        if row_skip:
+                            _mask_write(idx, ms[k])
+
+                    sp2 = sp2 + hit_k.astype(jnp.int32)
+            return (sp2, bt)
+
+        if two_pop:
+            def inner_dispatch4(sp_in, bt):
+                nxt = stack_ref[jnp.maximum(sp_in - 1, 0)]
+                can2 = jnp.logical_and(sp_in > 0, nxt >= 0)
+                return jax.lax.cond(can2, fused_case4, inner_case4,
+                                    sp_in, bt)
+        else:
+            inner_dispatch4 = inner_case4
+
+        return jax.lax.cond(is_leaf, leaf_case4, inner_dispatch4, sp, c[1])
 
     if "notrav" in _ABLATE:
         t_final = init[1]
@@ -1856,7 +1973,7 @@ def pallas_intersect(
     packet_rays: int = PACKET, slab_batch: bool = False,
     row_skip: bool = False, defer_uv: bool = False,
     mt_point: bool = False, mt_mxu: str = "", stub: bool = False,
-    block_skip: bool = False,
+    block_skip: bool = False, two_pop: bool = False,
 ):
     """Full wavefront intersection via the Pallas kernel.
 
@@ -1945,6 +2062,10 @@ def pallas_intersect(
     ksteps = k // pps
     # Row masks come from the batched slab reduction's per-row mins.
     row_skip = row_skip and slab_batch
+    # Two-pop batches the fused slab reduce of two popped inner nodes:
+    # needs the batched reduction and a wide tree (the binary body has
+    # its own pop discipline).
+    two_pop = two_pop and slab_batch and tables.width >= 4
 
     kernel = functools.partial(
         _kernel, stack_depth=stack_depth, has_uv=huv, with_tangent=wt,
@@ -1954,7 +2075,7 @@ def pallas_intersect(
         leaf_pipeline=leaf_pipeline, bvh_width=tables.width,
         woop_bf16=tables.woop_bf16, sub=sub, slab_batch=slab_batch,
         row_skip=row_skip, defer_uv=defer_uv, mt_point=mt_point,
-        mt_mxu=mt_mxu,
+        mt_mxu=mt_mxu, two_pop=two_pop,
     )
 
     def kernel_wrap(nb, nm, n4b, n4m, tab, rays_blk, out_blk,
@@ -2327,7 +2448,7 @@ def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,
                             row_skip: bool = False,
                             defer_uv: bool = False,
                             mt_point: bool = False,
-                            mt_mxu: str = ""):
+                            mt_mxu: str = "", two_pop: bool = False):
     """Rich IntersectFn backed by the Pallas kernel, or None if the scene
     doesn't fit the VMEM budget. The returned function carries its
     PallasSceneTables as `.tables` (slot_tri maps winner slots to tris)."""
@@ -2346,7 +2467,7 @@ def make_pallas_intersector(scene, bvh: PackedBVH, with_tangent: bool,
                                 packet_rays=packet_rays,
                                 slab_batch=slab_batch, row_skip=row_skip,
                                 defer_uv=defer_uv, mt_point=mt_point,
-                                mt_mxu=mt_mxu)
+                                mt_mxu=mt_mxu, two_pop=two_pop)
 
     intersect.tables = tables
     return intersect

@@ -429,6 +429,7 @@ class Renderer:
                 mtp = self.cfg.pallas_mt_point
                 mtx = self.cfg.pallas_mt_mxu
                 bskip = self.cfg.pallas_block_skip
+                tpop = self.cfg.pallas_two_pop
                 self._accel_data = tables
 
                 def bind(sc, acc):
@@ -440,7 +441,7 @@ class Renderer:
                             leaf_pipeline=pipe, packet_rays=prays,
                             slab_batch=sbatch, row_skip=rskip,
                             defer_uv=duv, mt_point=mtp, mt_mxu=mtx,
-                            block_skip=bskip,
+                            block_skip=bskip, two_pop=tpop,
                         )
                     )
 
