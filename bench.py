@@ -244,6 +244,10 @@ def main():
                                          "1") == "1",
         # Two-pop inner batching (statistical-parity; config.pallas_two_pop).
         pallas_two_pop=os.environ.get("TRACY_BENCH_TWOPOP", "0") == "1",
+        # Pair-merge sparsity routing rounds (config.pallas_pair_merge).
+        pallas_pair_merge=int(os.environ.get("TRACY_BENCH_PAIRMERGE", "0")),
+        pallas_pair_probes=int(os.environ.get("TRACY_BENCH_PAIRPROBES",
+                                              "3")),
         # Batched texel-page fetch (textured shade stage; bit-identical).
         # 0 = off, 8/16 = candidate pages per drain ("1" = legacy on = 8).
         pallas_texfetch_batch=(lambda s: 8 if s == "1" else int(s))(
@@ -381,6 +385,7 @@ def main():
             "mt_point": cfg.pallas_mt_point,
             "mt_mxu": cfg.pallas_mt_mxu,
             "two_pop": cfg.pallas_two_pop,
+            "pair_merge": cfg.pallas_pair_merge,
             # The bounce megakernel has eligibility gates beyond its config
             # flag (rb_mode='fused', untextured, Pallas tables selected) —
             # record whether it actually BOUND, not whether it was asked

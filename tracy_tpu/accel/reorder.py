@@ -384,3 +384,162 @@ def compact_intersector_slot(intersect_fn, group: int = 4096,
         return hit_out, attrs_out, slot_out
 
     return wrapped
+
+
+# --------------------------------------------------------------------------
+# PAIR-MERGE: single-select packet merging (round-5 helmet lever).
+#
+# The butterfly compacts perfectly but costs log2(group) full passes over
+# every routed plane — on traversal-light scenes that overhead EXCEEDS the
+# traversal it saves (helmet: compaction off = +78%). Yet helmet's
+# remaining intersect share (49.5% of the frame, X2 trace) is sparse late
+# waves: a few live lanes per 4096-ray packet, each packet still paying
+# the ~13.7us plumbing floor + its visits.
+#
+# Pair-merge is the O(1)-stage alternative: pair packets at stride s and
+# move packet B's live lanes into packet A's SAME-POSITION dead lanes
+# with one elementwise select (no cumsum, no staging). Collisions (both
+# live at one position) are retried with lane-ROTATED copies of B (roll
+# 64/128/...): each probe is one more select. After k probes the B packet
+# is almost empty -> fully-dead packets cost nothing (block_skip), and A
+# packets run denser. Results route back through the same selects in
+# reverse — bit-exact per ray (selects move bits verbatim; only packet
+# composition changes, i.e. equal-t tie winners, the accepted
+# statistical-parity class).
+# --------------------------------------------------------------------------
+
+
+def _pm_pair(x, s):
+    """View the packet axis [B, ...] as (pairs, 2, s, ...) at stride s:
+    returns (A, B) halves. B must be a multiple of 2s (guaranteed by the
+    wrapper's padding to a power-of-two packet count)."""
+    b = x.shape[0]
+    v = x.reshape((b // (2 * s), 2, s) + x.shape[1:])
+    return v[:, 0], v[:, 1]
+
+
+def _pm_unpair(a, bp, s):
+    v = jnp.stack([a, bp], axis=1)
+    return v.reshape((-1,) + a.shape[2:])
+
+
+def _pm_schedule(rounds: int, probes: int, p_lanes: int, b_packets: int):
+    """Static (stride, roll) schedule shared by forward and backward —
+    kept OUT of the returned pytree so the ints never become tracers
+    across jit boundaries. Rounds whose stride exceeds the packet count
+    are dropped (tiny waves)."""
+    sched = []
+    for r in range(rounds):
+        s = 1 << r
+        if 2 * s > b_packets:
+            break
+        for pi in range(probes):
+            roll = 0 if pi == 0 else min(64 * (1 << (pi - 1)), p_lanes // 2)
+            sched.append((s, roll))
+    return sched
+
+
+def pair_merge_forward(planes, alive, rounds: int, probes: int):
+    """planes: [B, P, C] payload; alive: [B, P] bool. Returns (planes,
+    alive, takes) — takes is the per-(round, probe) list of masks in B
+    coordinates [pairs, s, P] needed to route results back."""
+    takes = []
+    for s, roll in _pm_schedule(rounds, probes, alive.shape[1],
+                                alive.shape[0]):
+        xa, xb = _pm_pair(planes, s)
+        aa, ab = _pm_pair(alive, s)
+        ab_r = jnp.roll(ab, -roll, axis=-1)  # ab_r[j] = ab[j + roll]
+        take_a = (~aa) & ab_r  # in A coords
+        xb_r = jnp.roll(xb, -roll, axis=-2)
+        xa = jnp.where(take_a[..., None], xb_r, xa)
+        aa = aa | take_a
+        take_b = jnp.roll(take_a, roll, axis=-1)  # in B coords
+        ab = ab & ~take_b
+        planes = _pm_unpair(xa, xb, s)
+        alive = _pm_unpair(aa, ab, s)
+        takes.append(take_b)
+    return planes, alive, takes
+
+
+def pair_merge_backward(out, takes, rounds: int, probes: int):
+    """Route result planes [B, P, C] back: for each recorded take (in
+    reverse), the lane B[j] that computed in A[j - roll] reclaims A's
+    result."""
+    sched = _pm_schedule(rounds, probes, out.shape[1], out.shape[0])
+    for (s, roll), take_b in zip(reversed(sched), reversed(takes)):
+        oa, ob = _pm_pair(out, s)
+        oa_r = jnp.roll(oa, roll, axis=-2)  # oa_r[j] = oa[j - roll]
+        ob = jnp.where(take_b[..., None], oa_r, ob)
+        out = _pm_unpair(oa, ob, s)
+    return out
+
+
+def pair_merge_intersector(intersect_fn, rounds: int = 2, probes: int = 3,
+                           packet: int = 4096, route_tangent: bool = True):
+    """Wrap a RICH IntersectFn with pair-merge sparsity routing (see
+    module notes above). rounds = packet-pair merge rounds (stride
+    doubles); probes = same-position + rotated retries per round."""
+
+    def wrapped(origin, direction, active):
+        from tracy_tpu.accel.packet import PacketAttrs
+        from tracy_tpu.render.intersect import FLT_MAX, Hit
+
+        n = origin.shape[0]
+        # pad to a power-of-two packet count so every round pairs cleanly
+        b0 = -(-n // packet)
+        b = 1 << (b0 - 1).bit_length()
+        npad = b * packet
+        if npad != n:
+            p = npad - n
+            origin = jnp.pad(origin, ((0, p), (0, 0)))
+            direction = jnp.pad(direction, ((0, p), (0, 0)),
+                                constant_values=1.0)
+            active = jnp.pad(active, (0, p))
+
+        payload = jnp.concatenate([origin, direction], axis=1).reshape(
+            b, packet, 6)
+        alive = active.reshape(b, packet)
+        payload, alive_m, takes = pair_merge_forward(
+            payload, alive, rounds, probes)
+        o_c = payload[..., 0:3].reshape(npad, 3)
+        d_c = payload[..., 3:6].reshape(npad, 3)
+        a_c = alive_m.reshape(npad)
+
+        hit, attrs = intersect_fn(o_c, d_c, a_c)
+
+        planes = [
+            hit.t[:, None],
+            hit.uv,
+            hit.mask.astype(jnp.float32)[:, None],
+            attrs.normal,
+            attrs.uv,
+            attrs.material.astype(jnp.float32)[:, None],
+        ]
+        if route_tangent:
+            planes.append(attrs.tangent)
+        r = pair_merge_backward(
+            jnp.concatenate(planes, axis=1).reshape(b, packet, -1), takes,
+            rounds, probes,
+        ).reshape(npad, -1)
+        live = active.reshape(-1)[:n]
+        mask = (r[:n, 3] > 0.5) & live
+        hit_out = Hit(
+            t=jnp.where(mask, r[:n, 0], FLT_MAX),
+            tri=jnp.zeros((n,), jnp.int32),
+            uv=jnp.where(live[:, None], r[:n, 1:3], 0.0),
+            mask=mask,
+        )
+        attrs_out = PacketAttrs(
+            normal=jnp.where(live[:, None], r[:n, 4:7], 0.0),
+            tangent=(
+                jnp.where(live[:, None], r[:n, 10:13], 0.0)
+                if route_tangent else jnp.zeros((n, 3), r.dtype)
+            ),
+            uv=jnp.where(live[:, None], r[:n, 7:9], 0.0),
+            material=jnp.where(
+                live, jnp.round(r[:n, 9]), 0.0
+            ).astype(jnp.int32),
+        )
+        return hit_out, attrs_out
+
+    return wrapped

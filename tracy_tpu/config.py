@@ -212,6 +212,17 @@ class RenderConfig:
     # metrics are unchanged to 4 decimals on every scene checked).
     pallas_mt_point: bool = True
 
+    # PAIR-MERGE sparsity routing (accel/reorder.py pair_merge_*): move
+    # sparse late-wave survivors into sibling packets' dead lanes with
+    # O(rounds*probes) elementwise selects instead of the butterfly's
+    # log2(group) full routing stages. Targets traversal-light scenes
+    # that run compaction OFF (helmet regime): fully-dead merged packets
+    # cost nothing (block_skip) and survivors run denser. 0 = off;
+    # N = merge rounds (stride doubles per round). Bit-exact per ray up
+    # to packet-composition tie winners (the accepted statistical class).
+    pallas_pair_merge: int = 0
+    pallas_pair_probes: int = 3
+
     # TWO-POP inner batching: when the popped stack entry AND the next
     # one are both inner nodes, resolve both with ONE drained [sub, 2W]
     # slab reduction (the drain is ~60% of inner-visit cost). The second

@@ -507,6 +507,29 @@ class Renderer:
                 # Bounce 0 is all-live: run it uncompacted (trace_paths
                 # peels it; identical results, two routings saved/sample).
                 self._bind_first = inner_bind
+        elif (self.cfg.pallas_pair_merge > 0 and self.cfg.accel in (
+                "packet", "tlas")):
+            # Pair-merge sparsity routing for the compaction-off regime
+            # (see config.pallas_pair_merge). Bounce 0 is all-live:
+            # nothing to merge, skip the wrapper there.
+            from tracy_tpu.accel.reorder import pair_merge_intersector
+            from tracy_tpu.scene.scene import TEX_NORMAL
+
+            inner_bind = self._bind
+            pm_rounds = self.cfg.pallas_pair_merge
+            pm_probes = self.cfg.pallas_pair_probes
+            pm_packet = self.cfg.pallas_packet_rays
+            wt = bool(
+                (np.asarray(scene.materials.tex_index)[:, TEX_NORMAL] >= 0).any()
+            )
+
+            def bind_pm(sc, acc):
+                return pair_merge_intersector(
+                    inner_bind(sc, acc), rounds=pm_rounds, probes=pm_probes,
+                    packet=pm_packet, route_tangent=wt)
+
+            self._bind = bind_pm
+            self._bind_first = inner_bind
 
         self._maybe_bind_shade(scene)
         self._maybe_bind_bounce(scene)
