@@ -27,3 +27,75 @@ def test_vmem_budget_fallback_warns(monkeypatch):
     d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32), (256, 1))
     hit, attrs = isect(o, d, jnp.ones((256,), bool))
     assert np.isfinite(np.asarray(hit.t)).all()
+
+
+def _packet_cfg(**kw):
+    from tracy_tpu.config import RenderConfig
+
+    return RenderConfig(width=32, height=24, accel="packet", **kw)
+
+
+def test_tier_pick_cpu_uses_xla_packet():
+    """On the CPU backend the renderer must pick the XLA packet path (the
+    Pallas kernel is TPU-only outside interpret tests): accel data is the
+    (bvh, tri) tuple, not PallasSceneTables."""
+    from tracy_tpu.ops.pallas_packet import PallasSceneTables
+    from tracy_tpu.render.renderer import Renderer
+    from tracy_tpu.scene.scn_parser import default_scene
+
+    scene = default_scene(32, 24).build()
+    r = Renderer(_packet_cfg())
+    r._ensure_accel(scene)
+    assert not isinstance(r._accel_data, PallasSceneTables)
+    assert isinstance(r._accel_data, tuple) and len(r._accel_data) == 2
+
+
+def test_tier_pick_compaction_binds_wrapper():
+    """wave_compact_group > 0 wraps the intersector; bounce 0 gets the
+    uncompacted binding when skip_first is on."""
+    from tracy_tpu.render.renderer import Renderer
+    from tracy_tpu.scene.scn_parser import default_scene
+
+    scene = default_scene(32, 24).build()
+    r = Renderer(_packet_cfg(wave_compact_group=2048,
+                             wave_compact_skip_first=True))
+    r._ensure_accel(scene)
+    assert r._bind_first is not None
+    assert r._bind is not r._bind_first
+
+    r2 = Renderer(_packet_cfg())
+    r2._ensure_accel(scene)
+    assert r2._bind_first is None
+
+
+def test_tier_pick_pair_merge_binds_wrapper():
+    """pallas_pair_merge > 0 (and compaction off) binds the pair-merge
+    wrapper with an uncompacted bounce-0 path."""
+    from tracy_tpu.render.renderer import Renderer
+    from tracy_tpu.scene.scn_parser import default_scene
+
+    scene = default_scene(32, 24).build()
+    r = Renderer(_packet_cfg(pallas_pair_merge=2))
+    r._ensure_accel(scene)
+    assert r._bind_first is not None
+    assert r._bind is not r._bind_first
+
+    # compaction takes precedence: both > 0 binds the butterfly
+    r2 = Renderer(_packet_cfg(pallas_pair_merge=2, wave_compact_group=2048))
+    r2._ensure_accel(scene)
+    import tracy_tpu.accel.reorder as reorder
+    isect = r2._bind(scene, r2._accel_data)
+    assert isect.__qualname__.startswith("compact_intersector")
+
+
+def test_tier_pick_accel_none_bruteforce():
+    """accel='none' is the reference's CUDA brute-force analogue
+    (cuda_trace.cu:22-70): global soup, no tree."""
+    from tracy_tpu.render.renderer import Renderer
+    from tracy_tpu.config import RenderConfig
+    from tracy_tpu.scene.scn_parser import default_scene
+
+    scene = default_scene(32, 24).build()
+    r = Renderer(RenderConfig(width=32, height=24, accel="none"))
+    r._ensure_accel(scene)
+    assert r._accel_data == ()
