@@ -69,10 +69,18 @@ class ReplayProbe(Replay4):
                 improved = tb < best[ridx]
                 if not improved.any():
                     stats["fruitless"] += 1
-                    # ordering waste: every live ray entered this box AFTER
-                    # its final t (interval overlap was real at push time,
-                    # best_t just hadn't tightened yet) -> SBVH can't fix
-                    if (entry_t[ridx] >= final_t[ridx] - 1e-6).all():
+                    # Split the waste: consider only rays that actually HIT
+                    # this leaf's box (entry_t > 0; rows mix hitters and
+                    # non-hitters at 128-lane granularity).
+                    et = entry_t[ridx]
+                    ft = final_t[ridx]
+                    hitters = et > 0
+                    if not hitters.any() or (
+                            et[hitters] >= ft[hitters] - 1e-6).all():
+                        # ordering/staleness or row-granularity waste:
+                        # every box hitter entered AFTER its final t —
+                        # tighter boxes can't remove the visit, only
+                        # earlier best_t tightening could. NOT SBVH's.
                         stats["unfixable"] += 1
                 best[ridx] = np.minimum(best[ridx], tb)
                 continue
