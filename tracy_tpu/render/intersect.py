@@ -85,7 +85,11 @@ def intersect_bruteforce(
     active: Optional[jnp.ndarray] = None,
 ) -> Hit:
     """Closest hit over the whole triangle soup (reference CUDA kernel's
-    brute-force strategy, cuda_trace.cu:22-70, minus the per-mesh AABB skip).
+    brute-force strategy, cuda_trace.cu:22-70, INCLUDING its AABB pre-cull
+    — the reference slab-tests each mesh's box before its triangles
+    (cuda_trace.cu:41-50); here the box rides each scanned CHUNK (the
+    natural TPU work unit, finer than meshes) and a whole-chunk miss
+    skips the MT via lax.cond.
 
     Scans over padded triangle chunks; [N, tri_chunk] live values at a time.
     """
@@ -101,6 +105,18 @@ def intersect_bruteforce(
     # Padded triangles are all-zero -> det == 0 -> culled automatically.
     p0c, e1c, e2c = pad_tris(p0), pad_tris(e1), pad_tris(e2)
 
+    # Per-chunk AABBs from the REAL (unpadded) triangles; padded slots
+    # contribute inverted boxes that extend nothing.
+    big = jnp.asarray(FLT_MAX, p0.dtype)
+    vmin = jnp.minimum(p0, jnp.minimum(p0 + e1, p0 + e2))
+    vmax = jnp.maximum(p0, jnp.maximum(p0 + e1, p0 + e2))
+    cmin = jnp.pad(vmin, ((0, pad), (0, 0)), constant_values=big).reshape(
+        num_chunks, tri_chunk, 3).min(axis=1)  # [C, 3]
+    cmax = jnp.pad(vmax, ((0, pad), (0, 0)), constant_values=-big).reshape(
+        num_chunks, tri_chunk, 3).max(axis=1)
+
+    inv_d = 1.0 / jnp.where(jnp.abs(direction) < 1e-12, 1e-12, direction)
+
     t_max = jnp.full((n,), FLT_MAX) if t_max is None else t_max
 
     init = Hit(
@@ -111,26 +127,39 @@ def intersect_bruteforce(
     )
 
     def body(carry: Hit, chunk):
-        cp0, ce1, ce2, base = chunk
-        t, u, v = ray_triangle_grid(origin, direction, cp0, ce1, ce2, carry.t)
-        best = jnp.argmin(t, axis=-1)  # [N]
-        rows = jnp.arange(t.shape[0])
-        best_t = t[rows, best]
-        improved = best_t < carry.t
-        new = Hit(
-            t=jnp.where(improved, best_t, carry.t),
-            tri=jnp.where(improved, base + best.astype(jnp.int32), carry.tri),
-            uv=jnp.where(
-                improved[:, None],
-                jnp.stack([u[rows, best], v[rows, best]], axis=-1),
-                carry.uv,
-            ),
-            mask=carry.mask | improved,
-        )
-        return new, None
+        cp0, ce1, ce2, base, blo, bhi = chunk
+
+        def mt(carry):
+            t, u, v = ray_triangle_grid(origin, direction, cp0, ce1, ce2,
+                                        carry.t)
+            best = jnp.argmin(t, axis=-1)  # [N]
+            rows = jnp.arange(t.shape[0])
+            best_t = t[rows, best]
+            improved = best_t < carry.t
+            return Hit(
+                t=jnp.where(improved, best_t, carry.t),
+                tri=jnp.where(improved, base + best.astype(jnp.int32),
+                              carry.tri),
+                uv=jnp.where(
+                    improved[:, None],
+                    jnp.stack([u[rows, best], v[rows, best]], axis=-1),
+                    carry.uv,
+                ),
+                mask=carry.mask | improved,
+            )
+
+        # Chunk AABB pre-cull (cuda_trace.cu:41-50 semantics, slab test of
+        # collision.h:119-136): skip the whole chunk when NO ray's
+        # interval reaches its box before the current best t.
+        t0 = (blo - origin) * inv_d
+        t1 = (bhi - origin) * inv_d
+        tmn = jnp.minimum(t0, t1).max(axis=-1)
+        tmx = jnp.maximum(t0, t1).min(axis=-1)
+        any_hit = jnp.any((tmx >= jnp.maximum(tmn, 1e-8)) & (tmn < carry.t))
+        return jax.lax.cond(any_hit, mt, lambda c: c, carry), None
 
     bases = (jnp.arange(num_chunks, dtype=jnp.int32) * tri_chunk)
-    hit, _ = jax.lax.scan(body, init, (p0c, e1c, e2c, bases))
+    hit, _ = jax.lax.scan(body, init, (p0c, e1c, e2c, bases, cmin, cmax))
     if active is not None:
         hit = hit._replace(mask=hit.mask & active)
     return hit
