@@ -1,0 +1,17 @@
+#!/bin/bash
+# Round-5 session D: the experiments lost to the mid-session tunnel
+# stalls (B/C), in value order, plus the two calibration sweeps.
+#   1-2. helmet/bunny two_pop A/B (decides whether the knob flips on
+#        anywhere; dragon measured +0.7% in-session B);
+#   3. scene-size curve at the default config (VERDICT #5);
+#   4. compaction threshold calibration (VERDICT #6).
+# Run via tools/tpu_session.sh (gate first, snapshot, logs).
+cd /root/repo
+nohup bash tools/tpu_session.sh logs/r5_session_d.log \
+ "TRACY_BENCH_TWOPOP=1 TRACY_BENCH_SCENE=/root/reference/data/scenes/helmet.scn python -u bench.py" \
+ "TRACY_BENCH_SCENE=/root/reference/data/scenes/bunny.scn python -u bench.py" \
+ "TRACY_BENCH_TWOPOP=1 TRACY_BENCH_SCENE=/root/reference/data/scenes/bunny.scn python -u bench.py" \
+ "timeout 2900 python -u tools/tpu_scenesize.py" \
+ "timeout 2900 python -u tools/tpu_compactcal.py" \
+ > /dev/null 2>&1 &
+echo "session D launched (pid $!)"
