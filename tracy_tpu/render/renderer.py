@@ -370,7 +370,7 @@ class Renderer:
                 budget = self.cfg.pallas_vmem_budget
                 if cand.vmem_bytes <= budget:  # node tables (VMEM)
                     tables = cand
-                    if cand.vmem_bytes > 2 * 1024 * 1024 and not int(
+                    if cand.vmem_bytes > 1024 * 1024 and not int(
                             os.environ.get("TRACY_SCOPED_VMEM_KIB", "0")
                             or 0):
                         # Big node tables blow XLA's DEFAULT 16 MiB
@@ -379,7 +379,10 @@ class Renderer:
                         # renderer's programs: 96 MiB validated on chip
                         # for 5.4 MB tables at 720p/1080p (session Q2);
                         # v5e VMEM is 128 MiB. Env TRACY_SCOPED_VMEM_KIB
-                        # overrides (set at __init__).
+                        # overrides (set at __init__). Threshold 1 MB:
+                        # round-5 scene-size sweep 500'd at a 1.37 MB
+                        # table (1.04M tris, 1080p) while 0.71 MB/520K
+                        # compiled — the 2 MB trigger left a gap.
                         copts = {"xla_tpu_scoped_vmem_limit_kib": 98304}
                         self._jit_step = jax.jit(
                             self._step_impl, donate_argnums=(1,),
