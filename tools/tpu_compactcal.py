@@ -33,8 +33,12 @@ def build_grid(nsph: int, steps: int, w: int, h: int,
     import numpy as np
 
     b = default_scene(w, h)
-    glass = b.add_material((0.95, 0.95, 0.95), roughness=0.05,
-                           metalness=0.0, ior=1.5, translucency=1.0)
+    # add the glass material ONLY when used: has_translucent checks the
+    # material table, and an unused translucent slot would mislabel the
+    # opaque cases (and pin the auto heuristic's translucent branch).
+    glass = (b.add_material((0.95, 0.95, 0.95), roughness=0.05,
+                            metalness=0.0, ior=1.5, translucency=1.0)
+             if translucent_every else None)
     g = int(np.ceil(np.sqrt(nsph)))
     for i in range(nsph):
         mat = (glass if translucent_every and i % translucent_every == 0
