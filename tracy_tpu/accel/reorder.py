@@ -45,16 +45,22 @@ import jax.numpy as jnp
 # Compaction pays when the traversal cost it saves on sparse waves
 # exceeds the butterfly routing it adds — which needs BOTH the per-
 # live-packet cost to be high AND rays to actually die (a sparse wave
-# to compact). Static proxies, both measured at 1080p 4spp (V2/Z2):
+# to compact). Static proxies, both measured at 1080p 4spp (V2/Z2 +
+# round-5 session D calibration, logs/r5_session_d.log):
 # * tri count (per-packet traversal cost): helmet 15,452 tris runs
 #   +78% WITHOUT compaction (21.8 -> 38.7 MRays/s; the butterfly was
 #   22.5% of its frame + most of the 27% data staging); dragon 100,024
 #   runs -36% without (9.27 -> 5.91); spheres 49,600 likes it ON
 #   (18.5 vs 17.4).
+# * round-5 sphere-grid sweep (ON vs OFF): 20,108 tris 24.4/22.1,
+#   36,236 20.8/15.9, 68,492 18.9/14.3, 133,004 9.9/5.3, 262,028
+#   7.8/4.1, 520,076 6.9/3.7 — ON wins everywhere down to 20K tris,
+#   so the threshold sits between helmet (15,452, OFF by +78%) and the
+#   20K grid: 16,384.
 # * translucent materials (rays refract THROUGH and survive RR for all
 #   bounces -> waves never thin out the cheap way): random.scn is only
 #   13,973 tris but collapses without compaction (15.5 -> 7.2).
-COMPACT_MIN_TRIS = 32768
+COMPACT_MIN_TRIS = 16384
 
 
 def pick_compact_group(n_rays: int, max_group: int = 262144,
