@@ -257,7 +257,7 @@ def main():
         pallas_block_skip=os.environ.get("TRACY_BENCH_BLOCKSKIP",
                                          "1") == "1",
         # Two-pop inner batching (statistical-parity; config.pallas_two_pop).
-        pallas_two_pop=os.environ.get("TRACY_BENCH_TWOPOP", "0") == "1",
+        pallas_two_pop=os.environ.get("TRACY_BENCH_TWOPOP", "1") == "1",
         # Pair-merge sparsity routing rounds (config.pallas_pair_merge).
         pallas_pair_merge=int(os.environ.get("TRACY_BENCH_PAIRMERGE", "0")),
         pallas_pair_probes=int(os.environ.get("TRACY_BENCH_PAIRPROBES",

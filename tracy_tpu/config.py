@@ -230,8 +230,12 @@ class RenderConfig:
     # a few extra child visits (modeled +2.7% inner / +2.9% leaf on
     # dragon wave-2 for -44% drains, tools/twopop_model.py) and equal-t
     # tie winners can flip -> statistical-parity knob like mt_point.
-    # Default off until measured on chip (round-5 candidate).
-    pallas_two_pop: bool = False
+    # Measured round 5 (in-session A/B, median-of-3): dragon 9.335 vs
+    # 9.270 (+0.7%), bunny 11.90 vs 11.82 (+0.7%), helmet 39.33 vs
+    # 39.33 (exactly neutral) — small but consistently non-negative;
+    # default ON (the model's +4% didn't materialize: the fused
+    # [sub,2W] reduce's extra vector work eats most of the saved drain).
+    pallas_two_pop: bool = True
 
     # Dead-step BLOCK SKIP: late compacted waves are mostly all-dead
     # packets, and even the in-kernel dead-packet fast path pays the full
