@@ -905,3 +905,31 @@ def test_pallas_two_pop_production_config():
     m = np.asarray(h0.mask)
     same = (np.asarray(a0.material)[m] == np.asarray(a2.material)[m])
     assert same.mean() >= 0.999
+
+
+@pytest.mark.parametrize("leaf_size", [192, 256])
+def test_pallas_oversized_leaves_split(leaf_size):
+    """pallas_leaf_size > 128 must be VALID: build_tables splits leaves
+    wider than one 128-slot chunk into a balanced subtree (round-5
+    session I shipped a fast-because-wrong bench when the old code
+    silently dropped the excess triangles). Exact vs the XLA packet
+    intersector on the same BVH."""
+    b = default_scene(32, 24)
+    scene = b.build()
+    bvh, _ = build_packet_bvh(scene, leaf_size=leaf_size)
+    import numpy as _np
+    assert int(_np.asarray(bvh.node_meta)[:, 1].max()) > 128  # premise
+    isect_x = make_packet_intersector(scene, bvh, leaf_size=leaf_size,
+                                      packet_size=1024, with_tangent=False)
+    isect_p = make_pallas_intersector(scene, bvh, with_tangent=False,
+                                      interpret=True, rb_mode="vlist",
+                                      width=4, slab_batch=True,
+                                      row_skip=True, defer_uv=True)
+    o, d = _rays_for(scene, 2048, seed=41)
+    act = jnp.ones(2048, bool)
+    hx, _ax = isect_x(o, d, act)
+    hp, _ap = isect_p(o, d, act)
+    np.testing.assert_array_equal(np.asarray(hx.mask), np.asarray(hp.mask))
+    np.testing.assert_allclose(np.asarray(hp.t)[np.asarray(hx.mask)],
+                               np.asarray(hx.t)[np.asarray(hx.mask)],
+                               rtol=1e-5, atol=1e-5)

@@ -306,8 +306,51 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool,
     window loads in the kernel.
     """
     meta = np.asarray(bvh.node_meta).copy()
+    node_bounds = np.asarray(bvh.node_bounds, np.float32).copy()
     order0 = np.asarray(bvh.tri_order)
     leaf_nodes = np.where(meta[:, 1] > 0)[0]
+    oversized = leaf_nodes[meta[leaf_nodes, 1] > LEAF]
+    if len(oversized):
+        # A leaf wider than one 128-slot chunk cannot be masked by the
+        # kernel's single-chunk window — SPLIT it into a balanced binary
+        # subtree of <=LEAF-count leaves (tight child boxes from the
+        # slot-ordered tri bounds). Makes pallas_leaf_size > 128 a valid
+        # build knob instead of silently dropping triangles (round-5
+        # session I shipped a fast-because-wrong 10.9 MRays/s this way).
+        pos_s = np.asarray(scene.vertex_pos, np.float32)
+        tri_s = np.asarray(scene.indices)[order0]
+        va, vb, vc = pos_s[tri_s[:, 0]], pos_s[tri_s[:, 1]], pos_s[tri_s[:, 2]]
+        slot_min = np.minimum(np.minimum(va, vb), vc)
+        slot_max = np.maximum(np.maximum(va, vb), vc)
+        meta_l = meta.tolist()
+        nb_l = node_bounds.tolist()
+        nbw = node_bounds.shape[1]
+
+        def brow(first, count):
+            lo = slot_min[first:first + count].min(axis=0)
+            hi = slot_max[first:first + count].max(axis=0)
+            return list(lo) + list(hi) + [0.0] * (nbw - 6)
+
+        work = [int(n) for n in oversized]
+        while work:
+            n = work.pop()
+            first, count = int(meta_l[n][0]), int(meta_l[n][1])
+            half = (count + 1) // 2
+            l_id, r_id = len(meta_l), len(meta_l) + 1
+            meta_l.append([first, half] + [0] * (len(meta_l[n]) - 2))
+            nb_l.append(brow(first, half))
+            meta_l.append([first + half, count - half]
+                          + [0] * (len(meta_l[n]) - 2))
+            nb_l.append(brow(first + half, count - half))
+            meta_l[n] = [l_id, 0, r_id] + [0] * (len(meta_l[n]) - 3)
+            if half > LEAF:
+                work.append(l_id)
+            if count - half > LEAF:
+                work.append(r_id)
+        meta = np.asarray(meta_l, meta.dtype)
+        node_bounds = np.asarray(nb_l, np.float32)
+        leaf_nodes = np.where(meta[:, 1] > 0)[0]
+        assert int(meta[leaf_nodes, 1].max()) <= LEAF
     # Pack leaves into 128-slot chunks IN TREE ORDER (greedy sequential
     # first-fit: fill the current chunk until the next leaf doesn't fit).
     # The flattened BVH's leaf order is depth-first, i.e. spatially
@@ -319,18 +362,6 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool,
     # per chunk (measured +8% chunks on the dragon). A leaf's meta[0]
     # becomes chunk*128 + sub_offset; the kernel masks
     # [sub_offset, sub_offset + count) within the chunk.
-    oversized = meta[leaf_nodes, 1] > LEAF
-    if oversized.any():
-        # A depth-capped leaf wider than one chunk would silently lose the
-        # excess triangles (the kernel masks [sub, sub+count) within ONE
-        # 128-slot chunk) — make that loud instead of producing holes.
-        import warnings
-
-        warnings.warn(
-            f"build_tables: {int(oversized.sum())} leaf/leaves exceed "
-            f"{LEAF} triangles (max {int(meta[leaf_nodes, 1].max())}); "
-            "excess triangles will NOT be intersected. Raise max_depth or "
-            "lower leaf_size for this scene.", RuntimeWarning, stacklevel=2)
     chunk_fill = [0]  # used slots per chunk
     placement = {}
     # meta[:,0] (segment start in tri_order) is exactly the left-to-right
@@ -460,7 +491,6 @@ def build_tables(scene, bvh: PackedBVH, with_tangent: bool,
     attrs = pad8(attrs)
     tab = np.concatenate([woop, attrs], axis=0)
 
-    node_bounds = np.asarray(bvh.node_bounds, np.float32)
     n4b = np.zeros((1, 24), np.float32)
     n4m = np.zeros((1, 8), np.int32)
     depth4 = 0
