@@ -100,6 +100,16 @@ def test_pick_compact_group():
         assert g & (g - 1) == 0
         npad = -(-n // g) * g
         assert g == 2048 or (npad - n) / n <= 0.125
+    # Scene-adaptive branch (round-5 calibration, COMPACT_MIN_TRIS=16384):
+    # helmet-class opaque scenes below the threshold skip the butterfly;
+    # the 20K sphere grid (measured ON-win) and translucent scenes keep it.
+    n = 1920 * 1080
+    assert pick_compact_group(n, num_tris=15452,
+                              has_translucent=False) == 0
+    assert pick_compact_group(n, num_tris=20108,
+                              has_translucent=False) == 262144
+    assert pick_compact_group(n, num_tris=13973,
+                              has_translucent=True) == 262144
 
 
 @pytest.mark.parametrize("scn", ["cornell", "trimesh"])
